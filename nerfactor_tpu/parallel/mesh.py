@@ -1,0 +1,55 @@
+"""Device mesh + sharding for data-parallel training over rays.
+
+The reference's only parallelism is single-host data parallelism over rays
+via MirroredStrategy + NCCL all-reduce (trainvali.py:259-330). The
+TPU-native equivalent: one ``jax.sharding.Mesh`` with a single 'data'
+axis; batches are sharded on their leading (ray) axis, parameters are
+replicated, and XLA inserts the psum over ICI when the jitted step
+averages the loss/gradients across the global batch.
+
+Models here are tiny MLPs (width 128-256), so parameters stay fully
+replicated -- no tensor/pipeline parallelism is warranted; scaling is
+entirely along rays/batch.
+"""
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = 'data'
+
+
+def make_mesh(devices=None):
+    """1-D mesh over all (or the given) devices with a 'data' axis."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh):
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(arrays, mesh):
+    """Device-puts a dict of host arrays, sharding each leading axis over
+    the 'data' axis when divisible (replicating otherwise, e.g. scalars)."""
+    n_dev = mesh.devices.size
+    data = batch_sharding(mesh)
+    repl = replicated_sharding(mesh)
+
+    def put(x):
+        x = np.asarray(x)
+        if x.ndim >= 1 and x.shape[0] % n_dev == 0 and x.shape[0] > 0:
+            return jax.device_put(x, data)
+        return jax.device_put(x, repl)
+
+    return jax.tree_util.tree_map(put, arrays)
+
+
+def replicate(tree, mesh):
+    repl = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), tree)

@@ -1,0 +1,102 @@
+"""Jit-compiled, mesh-sharded train/eval steps + the optimizer builder.
+
+Replaces the reference's distributed_train_step/vali_step
+(trainvali.py:273-330): the per-replica run + NCCL all-reduce becomes one
+jitted function over sharded inputs; XLA inserts the ICI collectives when
+the loss is averaged over the globally-sharded batch axis.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def _clip_by_per_leaf_norm(max_norm):
+    """Keras 'clipnorm' semantics: clip EACH gradient tensor to max L2
+    norm (unlike optax.clip_by_global_norm)."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+
+        def clip(g):
+            norm = jnp.sqrt(jnp.sum(jnp.square(g)))
+            scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-12))
+            return g * scale
+
+        return jax.tree_util.tree_map(clip, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def build_optimizer(config):
+    """Adam(amsgrad) + exponential lr decay + optional grad clipping,
+    matching trainvali.py:109-127 of the reference."""
+    lr = config.getfloat('lr')
+    lr_decay_steps = config.getint('lr_decay_steps', fallback=-1)
+    if lr_decay_steps and lr_decay_steps > 0:
+        lr_decay_rate = config.getfloat('lr_decay_rate')
+        schedule = optax.exponential_decay(
+            init_value=lr, transition_steps=lr_decay_steps,
+            decay_rate=lr_decay_rate, staircase=False)
+    else:
+        schedule = lr
+    transforms = []
+    clipnorm = config.getfloat('clipnorm', fallback=-1.0)
+    clipvalue = config.getfloat('clipvalue', fallback=-1.0)
+    err_msg = "Both `clipnorm` and `clipvalue` are active -- turn one off"
+    if clipnorm is not None and clipnorm > 0:
+        assert clipvalue is None or clipvalue < 0, err_msg
+        transforms.append(_clip_by_per_leaf_norm(clipnorm))
+    if clipvalue is not None and clipvalue > 0:
+        assert clipnorm is None or clipnorm < 0, err_msg
+        transforms.append(optax.clip(clipvalue))
+    transforms.append(optax.amsgrad(learning_rate=schedule))
+    return optax.chain(*transforms)
+
+
+def make_train_step(model, optimizer, trainable_mask=None):
+    """Returns jitted (params, opt_state, arrays, key) -> (params,
+    opt_state, loss).
+
+    ``trainable_mask`` is an optional pytree of bools (same structure as
+    params); False leaves get zero updates -- the functional equivalent of
+    the reference's `.trainable = False` freezing.
+    """
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, arrays, key):
+        def loss_fn(p):
+            pred, gt, loss_kwargs, _ = model.apply(
+                p, arrays, mode='train', key=key)
+            per_example = model.compute_loss(p, pred, gt, **loss_kwargs)
+            return jnp.mean(per_example)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        if trainable_mask is not None:
+            grads = jax.tree_util.tree_map(
+                lambda g, m: g if m else jnp.zeros_like(g), grads,
+                trainable_mask)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
+def make_eval_step(model, mode='vali', **apply_kwargs):
+    """Returns jitted (params, arrays, key) -> (loss, to_vis)."""
+
+    @jax.jit
+    def eval_step(params, arrays, key):
+        pred, gt, loss_kwargs, to_vis = model.apply(
+            params, arrays, mode=mode, key=key, **apply_kwargs)
+        per_example = model.compute_loss(params, pred, gt, **loss_kwargs)
+        return jnp.mean(per_example), to_vis
+
+    return eval_step

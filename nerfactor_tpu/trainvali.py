@@ -1,0 +1,244 @@
+"""A general training and validation pipeline (all four trainable models).
+
+CLI parity with the reference's trainvali.py:
+  python -m nerfactor_tpu.trainvali --config=brdf.ini \
+      --config_override='data_root=...,outroot=...' [--debug] [--device=...]
+
+Differences by design (TPU-first):
+  * one jitted, mesh-sharded train step instead of eager + MirroredStrategy;
+  * checkpoints are pytree .npz files (same ckpt-N epoch naming);
+  * scalars go to <outdir>/summary_{train,vali}.jsonl plus consolidated
+    HTML galleries per validation epoch (same artifact layout).
+"""
+
+import argparse
+import os
+import shutil
+from collections import deque
+from os.path import join, dirname
+from time import time
+
+import jax
+import numpy as np
+
+from nerfactor_tpu import datasets, models
+from nerfactor_tpu.parallel import mesh as meshlib
+from nerfactor_tpu.parallel.train import (
+    build_optimizer, make_train_step, make_eval_step)
+from nerfactor_tpu.utils import config as configutil, io as ioutil
+from nerfactor_tpu.utils.ckpt import CheckpointManager
+from nerfactor_tpu.utils.logging import Logger
+
+logger = Logger(loggee="trainvali")
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument('--config', default='nerf.ini',
+                   help="base .ini in config/ or a full path")
+    p.add_argument('--config_override', default='',
+                   help="e.g. 'key1=value1,key2=value2'")
+    p.add_argument('--debug', action='store_true')
+    p.add_argument('--device', default='tpu', choices=['cpu', 'gpu', 'tpu'],
+                   help="accepted for CLI parity; JAX picks the platform")
+    return p.parse_args(argv)
+
+
+def load_config(config_flag, override=''):
+    config_ini = configutil.resolve_config_path(config_flag)
+    parser = configutil.read_config(config_ini)
+    configutil.apply_override(parser, override)
+    return parser
+
+
+class SummaryWriter:
+    """Append-only JSONL scalar log (TensorBoard-equivalent artifact)."""
+
+    def __init__(self, path):
+        self.path = path
+        os.makedirs(dirname(path), exist_ok=True)
+
+    def scalars(self, step, **kv):
+        rec = {'step': int(step)}
+        rec.update({k: (float(v) if v is not None else None)
+                    for k, v in kv.items()})
+        with open(self.path, 'a') as h:
+            import json
+            h.write(json.dumps(rec) + '\n')
+
+    def text(self, step, tag, value):
+        with open(self.path, 'a') as h:
+            import json
+            h.write(json.dumps({'step': int(step), tag: value}) + '\n')
+
+
+def split_batch(dataset, batch):
+    """Splits a dataset batch dict into (meta, arrays-for-device)."""
+    array_keys = getattr(dataset, 'array_keys', None)
+    arrays, meta = {}, {}
+    for k, v in batch.items():
+        is_arr = (array_keys is not None and k in array_keys) or (
+            array_keys is None and isinstance(v, np.ndarray))
+        if is_arr:
+            v = np.asarray(v)
+            if v.dtype == np.float64:
+                v = v.astype(np.float32)
+            elif v.dtype == np.int64:
+                v = v.astype(np.int32)
+            arrays[k] = v
+        else:
+            meta[k] = v
+    return meta, arrays
+
+
+def maintain_epoch_queue(queue, new_epoch_dir):
+    queue.appendleft(new_epoch_dir)
+    parent = dirname(new_epoch_dir)
+    for epoch_dir in ioutil.sortglob(parent, '*'):
+        if epoch_dir not in queue:
+            shutil.rmtree(epoch_dir)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.debug:
+        logger.warn("Debug mode: on")
+
+    parser = load_config(args.config, args.config_override)
+    config = configutil.Config(parser)
+
+    # Output directory from xname template
+    xname = configutil.get_xname(parser)
+    outroot = config.get('outroot')
+    outdir = join(outroot, xname)
+    ioutil.prepare_outdir(outdir, overwrite=config.getboolean('overwrite'))
+    logger.info("For results, see:\n\t%s", outdir)
+    configutil.write_config(parser, outdir.rstrip('/') + '.ini')
+
+    # Mesh: data-parallel over rays
+    dmesh = meshlib.make_mesh()
+
+    # Datasets
+    dataset_name = config.get('dataset')
+    Dataset = datasets.get_dataset_class(dataset_name)
+    dataset_train = Dataset(config, 'train', debug=args.debug)
+    datapipe_train = dataset_train.build_pipeline()
+    try:
+        dataset_vali = Dataset(config, 'vali', debug=args.debug)
+        n_vali_batches = config.getint('vali_batches')
+        datapipe_vali = dataset_vali.build_pipeline(
+            no_shuffle=True, take=n_vali_batches)
+    except FileNotFoundError:
+        dataset_vali, datapipe_vali = None, None
+
+    # Model + params
+    model_name = config.get('model')
+    Model = models.get_model_class(model_name)
+    model = Model(config, debug=args.debug)
+    key = jax.random.PRNGKey(config.getint('seed', fallback=0) or 0)
+    key, init_key = jax.random.split(key)
+    params = model.init_params(init_key)
+
+    # Optimizer
+    optimizer = build_optimizer(config)
+    opt_state = optimizer.init(params)
+
+    # Checkpointing (ckpt-N indexes epochs)
+    ckptdir = join(outdir, 'checkpoints')
+    keep_recent_epochs = config.getint('keep_recent_epochs', fallback=-1)
+    max_to_keep = keep_recent_epochs if keep_recent_epochs > 0 else None
+    ckptmanager = CheckpointManager(ckptdir, max_to_keep=max_to_keep)
+    step_restored = ckptmanager.latest_step()
+    if step_restored > 0:
+        state = ckptmanager.restore({'params': params,
+                                     'opt_state': opt_state})
+        params, opt_state = state['params'], state['opt_state']
+        logger.info("Resumed from epoch %d", step_restored)
+    else:
+        logger.info("Started from scratch")
+
+    # Shard: params replicated, batches split over rays
+    params = meshlib.replicate(params, dmesh)
+    opt_state = meshlib.replicate(opt_state, dmesh)
+
+    trainable_mask = getattr(model, 'trainable_mask', None)
+    if trainable_mask is not None:
+        trainable_mask = trainable_mask(params)
+    train_step = make_train_step(model, optimizer,
+                                 trainable_mask=trainable_mask)
+    vali_step = make_eval_step(model, mode='vali')
+
+    writer_train = SummaryWriter(join(outdir, 'summary_train',
+                                      'scalars.jsonl'))
+    writer_vali = SummaryWriter(join(outdir, 'summary_vali',
+                                     'scalars.jsonl'))
+    train_vis_epoch_dir = join(outdir, 'vis_train', 'epoch{e:09d}')
+    vali_vis_epoch_dir = join(outdir, 'vis_vali', 'epoch{e:09d}')
+    train_epoch_deque = deque([], max_to_keep)
+    vali_epoch_deque = deque([], max_to_keep)
+
+    epochs = config.getint('epochs')
+    ckpt_period = config.getint('ckpt_period')
+    vali_period = config.getint('vali_period')
+
+    step = step_restored
+    for _ in range(step_restored, epochs):
+        # ------ Train on all batches of this epoch ------
+        batch_loss, batch_time = [], []
+        for batch in datapipe_train:
+            _, arrays = split_batch(dataset_train, batch)
+            arrays = meshlib.shard_batch(arrays, dmesh)
+            key, step_key = jax.random.split(key)
+            t0 = time()
+            params, opt_state, loss = train_step(
+                params, opt_state, arrays, step_key)
+            loss = float(loss)  # blocks; includes device time
+            batch_time.append(time() - t0)
+            batch_loss.append(loss)
+            if args.debug:
+                logger.warn("Debug mode: skipping the rest of this epoch")
+                break
+        assert batch_time, "Dataset is empty"
+        step += 1
+
+        # ------ Checkpoint + train summaries ------
+        if step % ckpt_period == 0:
+            saved = ckptmanager.save(
+                step, {'params': jax.device_get(params),
+                       'opt_state': jax.device_get(opt_state)})
+            logger.info("Checkpointed epoch %d:\n\t%s", step, saved)
+            writer_train.scalars(
+                step, loss_train=np.mean(batch_loss),
+                batch_time_train=np.mean(batch_time),
+                rays_per_sec=dataset_train.bs / np.mean(batch_time))
+            maintain_epoch_queue(
+                train_epoch_deque, train_vis_epoch_dir.format(e=step))
+
+        # ------ Validation ------
+        if datapipe_vali is not None and vali_period > 0 \
+                and step % vali_period == 0:
+            batch_loss, vis_dirs = [], []
+            epoch_dir = vali_vis_epoch_dir.format(e=step)
+            for batch_i, batch in enumerate(datapipe_vali):
+                meta, arrays = split_batch(dataset_vali, batch)
+                arrays = meshlib.shard_batch(arrays, dmesh)
+                key, step_key = jax.random.split(key)
+                loss, to_vis = vali_step(params, arrays, step_key)
+                batch_loss.append(float(loss))
+                to_vis_np = {k: np.asarray(v) for k, v in to_vis.items()}
+                to_vis_np.update(meta)
+                vis_dir = join(epoch_dir, 'batch{b:09d}'.format(b=batch_i))
+                model.vis_batch(to_vis_np, vis_dir, mode='vali')
+                vis_dirs.append(vis_dir)
+            writer_vali.scalars(step, loss_vali=np.mean(batch_loss))
+            comp_f = join(epoch_dir, 'all')
+            view_at = model.compile_batch_vis(vis_dirs, comp_f, mode='vali')
+            if view_at is not None:
+                writer_vali.text(step, 'vis_vali', view_at)
+            maintain_epoch_queue(vali_epoch_deque, epoch_dir)
+
+    logger.info("Training done (%d epochs)", epochs)
+
+
+if __name__ == '__main__':
+    main()
