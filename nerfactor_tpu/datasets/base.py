@@ -33,13 +33,13 @@ class Dataset:
         self.seed = seed
         if debug:
             logger.warn("Dataset in debug mode; behavior may be different")
+        self._cache = {}
+        self._cache_enabled = config.getboolean('cache', fallback=True)
+        self._epoch = 0
         self.files = self._glob()
         if not self.files:
             raise FileNotFoundError("No file to process into a dataset")
         self.bs = self._get_batch_size()
-        self._cache = {}
-        self._cache_enabled = config.getboolean('cache', fallback=True)
-        self._epoch = 0
 
     # ------ to be overridden ------
 

@@ -1,0 +1,59 @@
+"""End-to-end NeRF stage: synthetic sphere scene -> short training ->
+loss decreases; vis artifacts appear; test rendering runs."""
+
+import json
+import os
+from os.path import join, exists
+
+import pytest
+
+from tests import synth
+
+
+@pytest.fixture(scope='module')
+def nerf_run(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp('nerf_data'))
+    outroot = str(tmp_path_factory.mktemp('nerf_out'))
+    synth.make_scene(root, n_train=3, n_vali=1, n_test=1, imh=16)
+    from nerfactor_tpu import trainvali
+    override = ','.join([
+        'data_root=%s' % root,
+        'outroot=%s' % outroot,
+        'imh=16',
+        'near=2', 'far=6',
+        'epochs=20', 'ckpt_period=10', 'vali_period=20', 'vali_batches=1',
+        'n_rays_per_step=128',
+        'n_samples_coarse=16', 'n_samples_fine=16',
+        'mlp_width=32', 'enc_depth=4',
+        'mlp_chunk=4096',
+        'lr=5e-4',
+    ])
+    trainvali.main(['--config', 'nerf.ini', '--config_override', override])
+    return outroot
+
+
+def test_nerf_training(nerf_run):
+    outdir = join(nerf_run, 'lr5e-4')
+    with open(join(outdir, 'summary_train', 'scalars.jsonl')) as h:
+        recs = [json.loads(line) for line in h]
+    losses = [r['loss_train'] for r in recs if 'loss_train' in r]
+    assert len(losses) >= 2
+    assert losses[-1] < losses[0], "NeRF loss did not decrease: %s" % losses
+    assert exists(join(outdir, 'checkpoints', 'ckpt-20.npz'))
+    # Validation artifacts: full-image buffers + flipbooks + PSNR metadata
+    epochs = sorted(os.listdir(join(outdir, 'vis_vali')))
+    batch_dir = join(outdir, 'vis_vali', epochs[-1], 'batch000000000')
+    for f in ('gt_rgb.png', 'fine_rgb.png', 'coarse_rgb.png',
+              'fine_depth.png', 'fine-vs-gt_rgb.apng', 'metadata.json'):
+        assert exists(join(batch_dir, f)), "Missing %s" % f
+    metadata = json.load(open(join(batch_dir, 'metadata.json')))
+    assert 'psnr' in metadata and metadata['psnr'] > 5
+
+
+def test_nerf_test_rendering(nerf_run):
+    outdir = join(nerf_run, 'lr5e-4')
+    from nerfactor_tpu import nerf_test
+    nerf_test.main(['--ckpt', join(outdir, 'checkpoints', 'ckpt-20')])
+    vis_test = join(outdir, 'vis_test', 'ckpt-20')
+    assert exists(join(vis_test, 'batch000000000', 'fine_rgb.png'))
+    assert exists(join(vis_test, 'batch000000000', 'metadata.json'))
