@@ -1,0 +1,68 @@
+"""Geometry distillation on the synthetic sphere: train a tiny NeRF, then
+distill alpha/xyz/normal/lvis buffers and sanity-check them against the
+analytic sphere."""
+
+from os.path import join, exists
+
+import numpy as np
+import pytest
+
+from tests import synth
+from nerfactor_tpu.utils import io as ioutil
+
+
+@pytest.fixture(scope='module')
+def tiny_nerf(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp('geom_data'))
+    outroot = str(tmp_path_factory.mktemp('geom_out'))
+    synth.make_scene(root, n_train=6, n_vali=1, n_test=1, imh=16)
+    from nerfactor_tpu import trainvali
+    override = ','.join([
+        'data_root=%s' % root, 'outroot=%s' % outroot,
+        'imh=16', 'near=2', 'far=6',
+        'epochs=60', 'ckpt_period=30', 'vali_period=1000', 'vali_batches=1',
+        'n_rays_per_step=256', 'n_samples_coarse=32', 'n_samples_fine=32',
+        'mlp_width=64', 'enc_depth=4', 'mlp_chunk=8192',
+        'lr=5e-3',
+    ])
+    trainvali.main(['--config', 'nerf.ini', '--config_override', override])
+    return root, join(outroot, 'lr5e-3')
+
+
+def test_distillation(tiny_nerf, tmp_path):
+    data_root, trained = tiny_nerf
+    out_root = str(tmp_path / 'surf')
+    from nerfactor_tpu import geometry_from_nerf
+    geometry_from_nerf.main([
+        '--trained_nerf', trained,
+        '--out_root', out_root,
+        '--light_h', '4',
+        '--lvis_far', '2',
+        '--mlp_chunk', '16384',
+        '--occu_thres', '0.5',
+        '--debug',  # one view per mode
+    ])
+    view_dir = join(out_root, 'train_000')
+    for f in ('alpha.png', 'xyz.npy', 'xyz.png', 'normal.npy',
+              'normal.png', 'lvis.npy', 'lvis.png'):
+        assert exists(join(view_dir, f)), "Missing %s" % f
+    alpha = ioutil.load_img(join(view_dir, 'alpha.png'))
+    xyz = ioutil.load_np(join(view_dir, 'xyz.npy'))
+    normal = ioutil.load_np(join(view_dir, 'normal.npy'))
+    lvis = ioutil.load_np(join(view_dir, 'lvis.npy'))
+    assert xyz.shape == (16, 16, 3)
+    assert normal.shape == (16, 16, 3)
+    assert lvis.shape == (16, 16, 32)  # 4 x 8 lights
+    # The NeRF is weak after 60 tiny epochs, but geometry should be sane:
+    # some foreground detected, normals unit-length, lvis in [0, 1]
+    assert (alpha > 0.5).sum() > 5, "No foreground distilled"
+    norms = np.linalg.norm(normal, axis=2)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+    assert lvis.min() >= 0.0 and lvis.max() <= 1.0
+    fg = alpha > 0.5
+    if fg.sum() > 0:
+        # Foreground surface points should be near the analytic sphere
+        r = np.linalg.norm(xyz[fg], axis=1)
+        assert np.median(np.abs(r - synth.SPHERE_R)) < 0.4, \
+            "Distilled surface far from the true sphere: median r=%.3f" \
+            % np.median(r)
