@@ -1,0 +1,141 @@
+"""Dataset joining camera rays with distilled geometry buffers
+(xyz/normal/lvis/alpha from geometry_from_nerf).
+
+Reference behavior: nerfactor/datasets/nerf_shape.py -- training samples
+rays only from the foreground (alpha > 0.9); `use_nerf_alpha` switches to
+NeRF-traced alpha for real scenes; buffers are resized/renormalized on
+load.
+"""
+
+from os.path import dirname, join
+
+import numpy as np
+
+from nerfactor_tpu.datasets.nerf import Dataset as BaseDataset
+from nerfactor_tpu.ops import img as imgops
+from nerfactor_tpu.utils import io as ioutil
+from nerfactor_tpu.utils.logging import Logger
+
+logger = Logger(loggee="datasets/nerf_shape")
+
+
+class Dataset(BaseDataset):
+    array_keys = ('rayo', 'rayd', 'rgb', 'alpha', 'xyz', 'normal', 'lvis')
+
+    def __init__(self, config, mode, debug=False, always_all_rays=False,
+                 spp=1, seed=0):
+        self.meta2buf = {}
+        super().__init__(config, mode, debug=debug,
+                         always_all_rays=always_all_rays, spp=spp, seed=seed)
+
+    def _glob(self):
+        root = self.config.get('data_root')
+        nerf_root = self.config.get('data_nerf_root')
+        mode_str = 'val' if self.mode == 'vali' else self.mode
+        if self.debug:
+            logger.warn("Globbing a single data file for faster debugging")
+            metadata_dir = join(root, '%s_002' % mode_str)
+        else:
+            metadata_dir = join(root, '%s_???' % mode_str)
+        metadata_paths, incomplete_paths = [], []
+        for metadata_path in ioutil.sortglob(metadata_dir, 'metadata.json'):
+            id_ = self._parse_id(metadata_path)
+            paths = {
+                'xyz': join(nerf_root, id_, 'xyz.npy'),
+                'normal': join(nerf_root, id_, 'normal.npy'),
+                'lvis': join(nerf_root, id_, 'lvis.npy'),
+                'alpha': join(nerf_root, id_, 'alpha.png')}
+            if self.mode != 'test':
+                paths['rgba'] = join(dirname(metadata_path), 'rgba.png')
+            if ioutil.all_exist(paths):
+                metadata_paths.append(metadata_path)
+                self.meta2buf[metadata_path] = paths
+            else:
+                incomplete_paths.append(metadata_path)
+        if incomplete_paths:
+            logger.warn(
+                "Skipping\n\t%s\nbecause at least one of their paired "
+                "buffers doesn't exist", incomplete_paths)
+        logger.info("Number of '%s' views: %d", self.mode,
+                    len(metadata_paths))
+        return metadata_paths
+
+    def _load_one(self, metadata_path):
+        imh = self.config.getint('imh')
+        use_nerf_alpha = self.config.getboolean('use_nerf_alpha',
+                                                fallback=False)
+        id_ = self._parse_id(metadata_path)
+        metadata = ioutil.read_json(metadata_path)
+        imw = int(imh / metadata['imh'] * metadata['imw'])
+        cam_to_world = np.array([
+            float(x) for x in metadata['cam_transform_mat'].split(',')
+        ]).reshape(4, 4)
+        rayo, rayd = self._gen_rays(
+            cam_to_world, metadata['cam_angle_x'], imh, imw)
+        paths = self.meta2buf[metadata_path]
+        xyz = ioutil.load_np(paths['xyz'])
+        normal = ioutil.load_np(paths['normal'])
+        if self.debug:
+            logger.warn("Faking light visibility for faster debugging")
+            lvis = 0.5 * np.ones(normal.shape[:2] + (512,), np.float32)
+        else:
+            lvis = ioutil.load_np(paths['lvis'])
+        if self.mode == 'test':
+            alpha = ioutil.load_img(paths['alpha'])
+            rgb = np.zeros_like(xyz)
+        else:
+            rgba = ioutil.load_img(paths['rgba'])
+            assert rgba.ndim == 3 and rgba.shape[2] == 4, \
+                "Input image is not RGBA"
+            rgb = rgba[:, :, :3]
+            if use_nerf_alpha:
+                alpha = ioutil.load_img(paths['alpha'])
+            else:
+                alpha = rgba[:, :, 3]
+        if alpha.ndim == 3:
+            alpha = alpha[:, :, 0]
+        # Resize everything to the target image height
+        if imh != xyz.shape[0]:
+            xyz = imgops.resize(xyz, new_h=imh)
+            normal = imgops.resize(normal, new_h=imh)
+            lvis = imgops.resize(lvis, new_h=imh)
+            alpha = imgops.resize(alpha, new_h=imh)
+            rgb = imgops.resize(rgb, new_h=imh)
+        assert not np.isclose(xyz, rayo).all(axis=2).any(), \
+            "Found XYZs coinciding with the camera"
+        norm = np.linalg.norm(normal, axis=2, keepdims=True)
+        normal = normal / np.maximum(norm, 1e-12)
+        lvis = np.clip(lvis, 0.0, 1.0)
+        return {
+            'id': id_, 'hw': (imh, imw),
+            'rayo': rayo.astype(np.float32),
+            'rayd': rayd.astype(np.float32),
+            'rgb': rgb.astype(np.float32),
+            'alpha': alpha.astype(np.float32),
+            'xyz': xyz.astype(np.float32),
+            'normal': normal.astype(np.float32),
+            'lvis': lvis.astype(np.float32),
+        }
+
+    def _postprocess(self, data, rng, alpha_thres=0.9):
+        out = {'id': data['id'], 'hw': data['hw']}
+
+        def flat(k, d):
+            return data[k].reshape(-1, d)
+
+        if self.mode in ('vali', 'test') or self.always_all_rays:
+            for k, d in (('rayo', 3), ('rayd', 3), ('rgb', 3), ('alpha', 1),
+                         ('xyz', 3), ('normal', 3),
+                         ('lvis', data['lvis'].shape[2])):
+                out[k] = flat(k, d)
+            return out
+        # Training: sample only foreground rays
+        alpha = data['alpha'].reshape(-1)
+        fg = np.flatnonzero(alpha > alpha_thres)
+        assert fg.size > 0, "No foreground pixel above threshold to sample"
+        sel = fg[rng.integers(0, fg.size, size=self.bs)]
+        for k, d in (('rayo', 3), ('rayd', 3), ('rgb', 3), ('alpha', 1),
+                     ('xyz', 3), ('normal', 3),
+                     ('lvis', data['lvis'].shape[2])):
+            out[k] = flat(k, d)[sel]
+        return out

@@ -44,7 +44,8 @@ class Model(BaseModel):
         self.mlp_spec = networks.MLPSpec(
             in_dim, [mlp_width] * mlp_depth, acts='relu',
             skip_at=[mlp_skip_at])
-        self.out_spec = networks.MLPSpec(mlp_width, [1], acts='softplus')
+        self.out_spec = networks.MLPSpec(
+            self.mlp_spec.out_dim, [1], acts='softplus')
         # BRDF identities from the data dir
         data_dir = config.get('data_root')
         train_npz = ioutil.sortglob(data_dir, 'train_*.npz')

@@ -54,17 +54,18 @@ class Model(BaseModel):
                 xyz_dims, [mlp_width] * enc_depth, acts=self.act,
                 skip_at=[enc_depth // 2]),
         }
+        enc_out = self.specs['enc'].out_dim
         if self.use_views:
             self.specs['sigma_out'] = networks.MLPSpec(
-                mlp_width, [1], acts=None)
+                enc_out, [1], acts=None)
             self.specs['bottleneck'] = networks.MLPSpec(
-                mlp_width, [mlp_width], acts=None)
+                enc_out, [mlp_width], acts=None)
             self.specs['rgb_out'] = networks.MLPSpec(
                 mlp_width + view_dims, [mlp_width // 2, 3],
                 acts=[self.act, None])
         else:
             self.specs['rgbs_out'] = networks.MLPSpec(
-                mlp_width, [4], acts=None)
+                enc_out, [4], acts=None)
         # Eval-time ray chunk: mlp_chunk counts flattened samples
         # (reference semantics); convert to rays.
         mlp_chunk = config.getint('mlp_chunk', fallback=1048576)

@@ -91,7 +91,13 @@ class MLPSpec:
 
     @property
     def out_dim(self):
-        return self.widths[-1]
+        """Output dim, including the input concat if the last layer is a
+        skip layer (Keras Dense infers fan-in lazily; here heads must size
+        themselves off this)."""
+        out = self.widths[-1]
+        if self.skip_at and (len(self.widths) - 1) in self.skip_at:
+            out += self.in_dim
+        return out
 
 
 def init_latent_code(key, n_iden, dim, mean=0.0, std=1.0):
