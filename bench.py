@@ -1,0 +1,73 @@
+"""Headline benchmark: joint-optimization (NeRFactor stage-3) training
+throughput in rays/sec/chip at reference-scale settings (1024 rays/step,
+16x32 light sphere = 512 visibility directions, 128x4 MLPs, posenc 10).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+`vs_baseline` is relative to BASELINE_RAYS_PER_SEC, an estimate of the
+TF-2.2 GPU reference: its telemetry (trainvali.py:179-182) logs
+batch_time_train for 1024-ray steps; a V100-class GPU runs the same
+forward+backward (2x 512-light MLP blowups, chunked) at roughly 0.5 s per
+step => ~2,048 rays/sec. The reference repo publishes no numbers
+(BASELINE.md), so this anchor is recorded here rather than cited.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_RAYS_PER_SEC = 2048.0
+N_RAYS = 1024
+WARMUP_STEPS = 3
+BENCH_STEPS = 20
+
+
+def main():
+    import jax
+    # The joint train step takes minutes to compile; persist the XLA
+    # cache so repeated benchmark runs skip straight to timing
+    try:
+        jax.config.update('jax_compilation_cache_dir',
+                          '/root/repo/.jax_cache')
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 5)
+    except Exception:
+        pass
+    from __graft_entry__ import _make_model_and_batch
+    from nerfactor_tpu.parallel.train import build_optimizer, \
+        make_train_step
+
+    model, batch = _make_model_and_batch(
+        n_rays=N_RAYS, light_h=16, tiny=False)
+    params = model.init_params(jax.random.PRNGKey(0))
+    optimizer = build_optimizer(model.config)
+    opt_state = optimizer.init(params)
+    train_step = make_train_step(
+        model, optimizer, trainable_mask=model.trainable_mask(params))
+
+    arrays = jax.device_put(batch)
+    key = jax.random.PRNGKey(1)
+    for _ in range(WARMUP_STEPS):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = train_step(params, opt_state, arrays, sub)
+    loss.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(BENCH_STEPS):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = train_step(params, opt_state, arrays, sub)
+    loss.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    assert np.isfinite(float(loss)), "Benchmark loss went non-finite"
+    rays_per_sec = N_RAYS * BENCH_STEPS / dt
+    print(json.dumps({
+        'metric': 'nerfactor_joint_train_throughput',
+        'value': round(rays_per_sec, 1),
+        'unit': 'rays/sec/chip',
+        'vs_baseline': round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,786 @@
+"""NeRFactor: the joint shape/reflectance/illumination model.
+
+Reference behavior: nerfactor/models/nerfactor.py. Per foreground surface
+point the model predicts albedo and a BRDF latent code (plus, depending on
+``shape_mode``, normals and light visibility), evaluates a *frozen*
+learned BRDF prior in local shading frames, and integrates the rendering
+equation against a trainable 16x32 environment light, supervised by an
+image-reconstruction loss with smoothness and light-TV priors.
+
+TPU-first design notes (vs the reference):
+  * No data-dependent shapes: the reference boolean-masks foreground rays
+    and front-lit (ray, light) pairs then scatters back
+    (nerfactor.py:188-193, 429-434, 268-293); here everything is dense
+    with where-masks, so one compiled program serves every batch.
+  * Relighting is algebra, not a loop: the reference re-integrates the
+    rendering equation per OLAT/probe (nerfactor.py:346-364). Here the
+    per-light linear contribution C = brdf * lvis * cos+ * dOmega (N,L,3)
+    is computed once; OLAT renders are slices of C and probe renders are
+    one einsum over the light axis.
+  * Full-image eval walks ray chunks with ``lax.map`` (static shapes)
+    instead of the reference's Python chunk_apply scatter loop.
+"""
+
+from os.path import join, dirname, exists, basename
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfactor_tpu.models.shape import Model as ShapeModel
+from nerfactor_tpu.models import networks
+from nerfactor_tpu.models.losses import mse_lastdim, mae_lastdim
+from nerfactor_tpu.ops import encoding
+from nerfactor_tpu.ops import geom as geomops
+from nerfactor_tpu.ops import img as imgops
+from nerfactor_tpu.ops.chunk import chunked_apply_tree
+from nerfactor_tpu.ops.light import make_olat_envmaps, vis_light, load_light
+from nerfactor_tpu.ops.math import safe_l2_normalize
+from nerfactor_tpu.parallel.train import build_optimizer
+from nerfactor_tpu.utils import (
+    ckpt as ckptutil, config as configutil, io as ioutil, vis as visutil)
+from nerfactor_tpu.utils.logging import Logger
+from nerfactor_tpu.utils.metrics import psnr as psnr_fn
+
+logger = Logger(loggee="models/nerfactor")
+
+SHAPE_PARAM_KEYS = ('normal_mlp', 'normal_out', 'lvis_mlp', 'lvis_out')
+BRDF_PARAM_KEYS = ('brdf_mlp', 'brdf_out', 'latent_code')
+
+
+class Model(ShapeModel):
+    uses_learned_brdf = True
+
+    def __init__(self, config, debug=False):
+        self._init_brdf_config(config)
+        # ------ Shape initialization mode (nerfactor.py:44-50)
+        self.shape_mode = config.get('shape_mode')
+        assert self.shape_mode in ('scratch', 'frozen', 'finetune', 'nerf'), \
+            self.shape_mode
+        self.shape_model_ckpt = config.get('shape_model_ckpt', fallback=None)
+        self.config_shape = None
+        if self.shape_mode in ('frozen', 'finetune'):
+            self.config_shape = self._load_sub_config(self.shape_model_ckpt)
+        super().__init__(config, debug=debug)
+        # ------ Reflectance / lighting hyperparameters
+        self.albedo_smooth_weight = config.getfloat('albedo_smooth_weight')
+        self.brdf_smooth_weight = config.getfloat('brdf_smooth_weight')
+        self.albedo_slope = config.getfloat('albedo_slope', fallback=0.7)
+        self.albedo_bias = config.getfloat('albedo_bias', fallback=0.1)
+        self.learned_brdf_scale = config.getfloat(
+            'learned_brdf_scale', fallback=1.0)
+        self.default_z = config.getfloat('default_z', fallback=0.1)
+        self.light_init_max = config.getfloat('light_init_max')
+        self.light_tv_weight = config.getfloat('light_tv_weight')
+        self.light_achro_weight = config.getfloat('light_achro_weight')
+        self.linear2srgb = config.getboolean('linear2srgb')
+        light_h = config.getint('light_h')
+        self.light_res = (light_h, 2 * light_h)
+        # ------ Novel lighting for test-time relighting (nerfactor.py:67-103)
+        self.olat_inten = config.getfloat('olat_inten', fallback=200.0)
+        self.ambient_inten = config.getfloat('ambient_inten', fallback=0.0) \
+            if self.white_bg else 0.0
+        olat_limit = 2 if debug else None
+        olats = make_olat_envmaps(
+            *self.light_res, olat_inten=self.olat_inten,
+            ambient_inten=self.ambient_inten, limit=olat_limit)
+        self.olat_names = list(olats.keys())
+        # Flat light indices of the OLATs, row-major over (i, j)
+        self.olat_inds = np.asarray([
+            np.ravel_multi_index(tuple(int(x) for x in name.split('-')),
+                                 self.light_res)
+            for name in self.olat_names], np.int32)
+        self.embed_light_h = config.getint('embed_light_h', fallback=32)
+        # OLAT thumbnails are only needed at vis time; building 512 of
+        # them eagerly would slow every model construction
+        self._olats = olats
+        self._novel_olat_uint = None
+        self.novel_probes = self._load_probes()
+        self.novel_probes_uint = {
+            k: vis_light(v, h=self.embed_light_h)
+            for k, v in self.novel_probes.items()}
+        self.probe_names = list(self.novel_probes.keys())
+        if self.novel_probes:
+            self.probes_flat = jnp.asarray(np.stack(
+                [v.reshape(-1, 3) for v in self.novel_probes.values()]))
+        else:
+            self.probes_flat = None
+
+    @property
+    def novel_olat_uint(self):
+        if self._novel_olat_uint is None:
+            self._novel_olat_uint = {
+                k: vis_light(v, h=self.embed_light_h)
+                for k, v in self._olats.items()}
+        return self._novel_olat_uint
+
+    def _init_brdf_config(self, config):
+        """Learned BRDF prior config (frozen; nerfactor.py:36-42,
+        58-60)."""
+        self.pred_brdf = config.getboolean('pred_brdf')
+        self.brdf_model_ckpt = config.get('brdf_model_ckpt')
+        self.config_brdf = self._load_sub_config(self.brdf_model_ckpt)
+        self.z_dim = self.config_brdf.getint('z_dim')
+        self.normalize_brdf_z = self.config_brdf.getboolean('normalize_z')
+        self.pos_enc_rusink = self.config_brdf.getboolean('pos_enc')
+        self.n_freqs_rusink = self.config_brdf.getint('n_freqs')
+
+    @staticmethod
+    def _load_sub_config(ckpt_path):
+        ini = configutil.get_config_ini(ckpt_path)
+        return configutil.Config(configutil.read_config(ini))
+
+    def _load_probes(self):
+        probes = {}
+        test_envmap_dir = self.config.get('test_envmap_dir', fallback=None)
+        if not test_envmap_dir or not exists(test_envmap_dir):
+            logger.warn("No test envmap dir; skipping light probes")
+            return probes
+        paths = ioutil.sortglob(test_envmap_dir, ext=('hdr', 'exr', 'npy'))
+        for path in paths:
+            name = basename(path).rsplit('.', 1)[0]
+            try:
+                probes[name] = load_light(path, envmap_h=self.light_res[0])
+            except Exception as e:  # codec availability varies
+                logger.warn("Failed to load probe %s (%s)", path, e)
+        return probes
+
+    # ------ network specs & params ------
+
+    def _init_specs(self):
+        w, d, s = self.mlp_width, self.mlp_depth, self.mlp_skip_at
+        xyz_dims = self._xyz_dims()
+        self.specs = {}
+        # Albedo head: sigmoid in [0, 1], scaled to [bias, slope + bias]
+        # downstream (nerfactor.py:134-137, 377-396)
+        self.specs['albedo_mlp'] = networks.MLPSpec(
+            xyz_dims, [w] * d, acts='relu', skip_at=[s])
+        self.specs['albedo_out'] = networks.MLPSpec(
+            self.specs['albedo_mlp'].out_dim, [3], acts='sigmoid')
+        if self.pred_brdf:
+            self.specs['brdf_z_mlp'] = networks.MLPSpec(
+                xyz_dims, [w] * d, acts='relu', skip_at=[s])
+            self.specs['brdf_z_out'] = self._make_brdf_z_out_spec()
+        # Shape heads exist unless geometry comes straight from NeRF buffers
+        if self.shape_mode != 'nerf':
+            shape_cfg = self.config_shape if self.shape_mode in (
+                'frozen', 'finetune') else self.config
+            sw = shape_cfg.getint('mlp_width')
+            sd = shape_cfg.getint('mlp_depth')
+            ss = shape_cfg.getint('mlp_skip_at')
+            self.specs['normal_mlp'] = networks.MLPSpec(
+                xyz_dims, [sw] * sd, acts='relu', skip_at=[ss])
+            self.specs['normal_out'] = networks.MLPSpec(
+                self.specs['normal_mlp'].out_dim, [3], acts=None)
+            self.specs['lvis_mlp'] = networks.MLPSpec(
+                xyz_dims + self._ldir_dims(), [sw] * sd, acts='relu',
+                skip_at=[ss])
+            self.specs['lvis_out'] = networks.MLPSpec(
+                self.specs['lvis_mlp'].out_dim, [1], acts='sigmoid')
+        if self.uses_learned_brdf:
+            # Frozen BRDF prior nets (shapes from the BRDF experiment's
+            # config)
+            rusink_dims = encoding.embed_dims(3, self.n_freqs_rusink) \
+                if self.pos_enc_rusink else 3
+            bw = self.config_brdf.getint('mlp_width')
+            bd = self.config_brdf.getint('mlp_depth')
+            bs = self.config_brdf.getint('mlp_skip_at')
+            self.specs['brdf_mlp'] = networks.MLPSpec(
+                self.z_dim + rusink_dims, [bw] * bd, acts='relu',
+                skip_at=[bs])
+            self.specs['brdf_out'] = networks.MLPSpec(
+                self.specs['brdf_mlp'].out_dim, [1], acts='softplus')
+
+    def _make_brdf_z_out_spec(self):
+        return networks.MLPSpec(
+            self.specs['brdf_z_mlp'].out_dim, [self.z_dim], acts=None)
+
+    def init_params(self, key):
+        """Fresh heads + restored frozen/finetuned submodel weights
+        (nerfactor.py:58-60, 155-162)."""
+        params = {}
+        for name, spec in self.specs.items():
+            key, sub = jax.random.split(key)
+            params[name] = spec.init(sub)
+        key, sub = jax.random.split(key)
+        params['light'] = jax.random.uniform(
+            sub, self.light_res + (3,), jnp.float32, 0.0,
+            self.light_init_max)
+        # Restore the frozen BRDF prior into brdf_mlp/brdf_out/latent_code
+        if self.uses_learned_brdf:
+            brdf_params = self._restore_brdf_prior(key)
+            if brdf_params is not None:
+                params.update(brdf_params)
+        # Restore pre-trained shape MLPs for frozen/finetune modes
+        if self.shape_mode in ('frozen', 'finetune'):
+            shape_params = self._restore_shape(key)
+            if shape_params is not None:
+                for k in SHAPE_PARAM_KEYS:
+                    params[k] = shape_params[k]
+        return params
+
+    def _restore_brdf_prior(self, key):
+        from nerfactor_tpu.models.brdf import Model as BRDFModel
+        try:
+            brdf_model = BRDFModel(self.config_brdf)
+            template = brdf_model.init_params(key)
+            restored = ckptutil.restore_trained_params(
+                self.brdf_model_ckpt, template, self.config_brdf)
+            return {'brdf_mlp': restored['brdf_mlp'],
+                    'brdf_out': restored['brdf_out'],
+                    'latent_code': restored['latent_code']}
+        except FileNotFoundError:
+            logger.warn(
+                "BRDF checkpoint %s not found; the prior stays at random "
+                "initialization", self.brdf_model_ckpt)
+            k1, k2, k3 = jax.random.split(key, 3)
+            return {
+                'brdf_mlp': self.specs['brdf_mlp'].init(k1),
+                'brdf_out': self.specs['brdf_out'].init(k2),
+                'latent_code': networks.init_latent_code(k3, 100, self.z_dim),
+            }
+
+    def _restore_shape(self, key):
+        try:
+            shape_model = ShapeModel(self.config_shape)
+            template = shape_model.init_params(key)
+            return ckptutil.restore_trained_params(
+                self.shape_model_ckpt, template, self.config_shape)
+        except FileNotFoundError:
+            logger.warn(
+                "Shape checkpoint %s not found; shape MLPs stay at random "
+                "initialization", self.shape_model_ckpt)
+            return None
+
+    def trainable_mask(self, params):
+        """False subtrees get zero gradient updates -- the functional
+        equivalent of `.trainable = False` (nerfactor.py:60, 158)."""
+        frozen = set(BRDF_PARAM_KEYS)
+        if self.shape_mode == 'frozen':
+            frozen.update(SHAPE_PARAM_KEYS)
+        return {
+            k: jax.tree_util.tree_map(lambda _: k not in frozen, v)
+            for k, v in params.items()}
+
+    # ------ pure compute ------
+
+    def light_from(self, params):
+        """Non-negative environment light (nerfactor.py:367-375)."""
+        return jnp.clip(params['light'], 0.0, None)
+
+    def pred_albedo_at(self, params, pts):
+        """Albedo in [bias, slope + bias] ~ [0.03, 0.8]
+        (nerfactor.py:377-396)."""
+        pts_scaled = self.xyz_scale * pts
+        feat = self.specs['albedo_mlp'].apply(
+            params['albedo_mlp'], self._embed_xyz(pts_scaled))
+        albedo = self.specs['albedo_out'].apply(params['albedo_out'], feat)
+        return self.albedo_slope * albedo + self.albedo_bias
+
+    def pred_brdf_at(self, params, pts):
+        pts_scaled = self.xyz_scale * pts
+        feat = self.specs['brdf_z_mlp'].apply(
+            params['brdf_z_mlp'], self._embed_xyz(pts_scaled))
+        z = self.specs['brdf_z_out'].apply(params['brdf_z_out'], feat)
+        if self.normalize_brdf_z:
+            z = safe_l2_normalize(z, axis=1)
+        return z
+
+    def default_brdf_at(self, pts):
+        return self.default_z * jnp.ones(
+            (pts.shape[0], self.z_dim), pts.dtype)
+
+    def _embed_rusink(self, rusink):
+        if self.pos_enc_rusink:
+            return encoding.posenc(rusink, self.n_freqs_rusink)
+        return rusink
+
+    def eval_brdf_at(self, params, pts2l, pts2c, normal, albedo, brdf_prop):
+        """(N,L,3),(N,3),(N,3),(N,3),(N,z) -> (N,L,3) BRDF values.
+
+        Reference nerfactor.py:413-461, minus the data-dependent gather:
+        back-lit (ray, light) pairs are zeroed with a where-mask after a
+        dense MLP pass, keeping shapes static for XLA.
+        """
+        n, l = pts2l.shape[0], pts2l.shape[1]
+        world2local = geomops.gen_world2local(normal)  # (N,3,3)
+        vdir = jnp.einsum('jkl,jl->jk', world2local, pts2c)  # (N,3)
+        ldir = jnp.einsum('jkl,jnl->jnk', world2local, pts2l)  # (N,L,3)
+        ldir_flat = ldir.reshape(-1, 3)
+        vdir_flat = jnp.broadcast_to(
+            vdir[:, None, :], (n, l, 3)).reshape(-1, 3)
+        rusink = geomops.dir2rusink(ldir_flat, vdir_flat)  # (NL,3)
+        z_flat = jnp.broadcast_to(
+            brdf_prop[:, None, :], (n, l, self.z_dim)).reshape(
+                -1, self.z_dim)
+        z_rusink = jnp.concatenate(
+            (z_flat, self._embed_rusink(rusink)), axis=1)
+        feat = self.specs['brdf_mlp'].apply(params['brdf_mlp'], z_rusink)
+        spec_flat = self.specs['brdf_out'].apply(params['brdf_out'], feat)
+        # Zero out back-lit directions (local cos = ldir_z <= 0)
+        front_lit = ldir_flat[:, 2:] > 0
+        spec = jnp.where(front_lit, spec_flat, 0.0).reshape(n, l, 1)
+        # Achromatic specular + Lambertian albedo term
+        return albedo[:, None, :] / jnp.pi \
+            + spec * self.learned_brdf_scale
+
+    def _light_contrib(self, lvis, brdf, l, n):
+        """Per-light linear radiance contribution C with C @ light = rgb:
+        the shared factor of every render (nerfactor.py:325-336)."""
+        cos = jnp.einsum('ijk,ik->ij', l, n)  # (N,L)
+        front_lit = (cos > 0).astype(brdf.dtype)
+        lvis_eff = front_lit * lvis  # (N,L)
+        areas = self.lareas.reshape(1, -1, 1)
+        return brdf * (lvis_eff * cos)[:, :, None] * areas  # (N,L,3)
+
+    def _finish_render(self, rgb):
+        rgb = jnp.clip(rgb, 0.0, 1.0)
+        if self.linear2srgb:
+            rgb = imgops.linear2srgb(rgb)
+        return rgb
+
+    def render(self, params, lvis, brdf, l, n, relight_olat=False,
+               relight_probes=False):
+        """Rendering equation + optional relights, all from one contrib
+        tensor."""
+        contrib = self._light_contrib(lvis, brdf, l, n)  # (N,L,3)
+        light_flat = self.light_from(params).reshape(-1, 3)  # (L,3)
+        rgb = self._finish_render(
+            jnp.einsum('nlc,lc->nc', contrib, light_flat))
+        rgb_olat = None
+        if relight_olat:
+            # OLAT k = olat_inten * C[:, k] (+ ambient * sum_L C): slicing
+            # replaces the reference's 512 re-integrations
+            olat = self.olat_inten * contrib[:, self.olat_inds, :]
+            if self.ambient_inten > 0:
+                olat = olat + self.ambient_inten * jnp.sum(
+                    contrib, axis=1, keepdims=True)
+            rgb_olat = self._finish_render(olat)  # (N, n_olat, 3)
+        rgb_probes = None
+        if relight_probes and self.probes_flat is not None:
+            probes = jnp.einsum('nlc,plc->npc', contrib, self.probes_flat)
+            rgb_probes = self._finish_render(probes)  # (N, P, 3)
+        return rgb, rgb_olat, rgb_probes
+
+    # ------ forward ------
+
+    def _forward_rays(self, params, xyz, rayo, normal_init, lvis_init,
+                      albedo_scales=None, albedo_override=None,
+                      brdf_z_override=None, relight_olat=False,
+                      relight_probes=False):
+        """Full reflectance forward for a block of rays; dense, static
+        shapes (the reference's nerfactor.py:181-313 minus masking)."""
+        surf2l = self.calc_ldir(xyz)  # (N,L,3)
+        surf2c = self.calc_vdir(rayo, xyz)  # (N,3)
+        if self.shape_mode == 'nerf':
+            normal_pred = normal_init
+            # 0 visibility in all directions leads to problematic gradients
+            lvis_pred = jnp.clip(lvis_init, 1e-8, 1.0)
+        else:
+            normal_pred = self.pred_normal_at(params, xyz)
+            lvis_pred = self.pred_lvis_at(params, xyz, surf2l)
+        normal_pred = safe_l2_normalize(normal_pred, axis=1)
+        albedo = self.pred_albedo_at(params, xyz)
+        if albedo_scales is not None:
+            albedo = albedo_scales.reshape(1, 3) * albedo
+        if albedo_override is not None:
+            albedo = jnp.broadcast_to(albedo_override, albedo.shape)
+        if self.pred_brdf:
+            brdf_prop = self.pred_brdf_at(params, xyz)
+        else:
+            brdf_prop = self.default_brdf_at(xyz)
+        if brdf_z_override is not None:
+            brdf_prop = jnp.broadcast_to(
+                brdf_z_override.reshape(1, self.z_dim), brdf_prop.shape)
+        brdf = self.eval_brdf_at(
+            params, surf2l, surf2c, normal_pred, albedo, brdf_prop)
+        rgb_pred, rgb_olat, rgb_probes = self.render(
+            params, lvis_pred, brdf, surf2l, normal_pred,
+            relight_olat=relight_olat, relight_probes=relight_probes)
+        out = {'rgb': rgb_pred, 'normal': normal_pred, 'lvis': lvis_pred,
+               'albedo': albedo, 'brdf': brdf_prop}
+        if rgb_olat is not None:
+            out['rgb_olat'] = rgb_olat
+        if rgb_probes is not None:
+            out['rgb_probes'] = rgb_probes
+        return out
+
+    def _forward_jitter(self, params, xyz, noise):
+        """Smoothness probes at jittered positions: only the heads whose
+        smoothness weights are nonzero are re-evaluated."""
+        out = {}
+        xyz_noisy = xyz + noise
+        if self.shape_mode != 'nerf':
+            if self.normal_smooth_weight > 0:
+                out['normal_jitter'] = safe_l2_normalize(
+                    self.pred_normal_at(params, xyz_noisy), axis=1)
+            if self.lvis_smooth_weight > 0:
+                surf2l = self.calc_ldir(xyz_noisy)
+                out['lvis_jitter'] = self.pred_lvis_at(
+                    params, xyz_noisy, surf2l)
+        if self.albedo_smooth_weight > 0:
+            out['albedo_jitter'] = self.pred_albedo_at(params, xyz_noisy)
+        if self.pred_brdf and self.brdf_smooth_weight > 0:
+            out['brdf_prop_jitter'] = self.pred_brdf_at(params, xyz_noisy)
+        return out
+
+    def apply(self, params, batch, mode='train', key=None,
+              relight_olat=False, relight_probes=False, albedo_scales=None,
+              albedo_override=None, brdf_z_override=None):
+        self._validate_mode(mode)
+        alpha = batch['alpha']
+        xyz, normal, lvis = batch['xyz'], batch['normal'], batch['lvis']
+        rayo = batch['rayo']
+        rgb = batch['rgb']
+
+        def forward(tree):
+            return self._forward_rays(
+                params, tree['xyz'], tree['rayo'], tree['normal'],
+                tree['lvis'], albedo_scales=albedo_scales,
+                albedo_override=albedo_override,
+                brdf_z_override=brdf_z_override, relight_olat=relight_olat,
+                relight_probes=relight_probes)
+
+        inputs = {'xyz': xyz, 'rayo': rayo, 'normal': normal, 'lvis': lvis}
+        if mode == 'train':
+            out = forward(inputs)
+        else:
+            out = chunked_apply_tree(forward, inputs, self.eval_ray_chunk)
+
+        loss_kwargs = {'mode': mode, 'normal_jitter': None,
+                       'lvis_jitter': None, 'albedo_jitter': None,
+                       'brdf_prop_jitter': None}
+        if mode == 'train' and self.xyz_jitter_std > 0 and key is not None:
+            noise = self.xyz_jitter_std * jax.random.normal(key, xyz.shape)
+            loss_kwargs.update(self._forward_jitter(params, xyz, noise))
+
+        pred = {'rgb': out['rgb'], 'normal': out['normal'],
+                'lvis': out['lvis'], 'albedo': out['albedo'],
+                'brdf': out['brdf']}
+        if 'rgb_olat' in out:
+            pred['rgb_olat'] = out['rgb_olat']
+        if 'rgb_probes' in out:
+            pred['rgb_probes'] = out['rgb_probes']
+        gt = {'rgb': rgb, 'normal': normal, 'lvis': lvis, 'alpha': alpha}
+        to_vis = {'pred_light': self.light_from(params)}
+        if self.uses_learned_brdf:
+            to_vis['seen_z'] = networks.latent_code_z(
+                params['latent_code'], normalize=self.normalize_brdf_z)
+        for k, v in pred.items():
+            to_vis['pred_' + k] = v
+        for k, v in gt.items():
+            to_vis['gt_' + k] = v
+        return pred, gt, loss_kwargs, to_vis
+
+    # ------ loss ------
+
+    def compute_loss(self, params, pred, gt, mode='train',
+                     normal_jitter=None, lvis_jitter=None,
+                     albedo_jitter=None, brdf_prop_jitter=None, **kwargs):
+        """Reconstruction + geometry respect + smoothness + light priors
+        (nerfactor.py:463-541); returns a per-example vector."""
+        smooth_loss = mae_lastdim if self.smooth_use_l1 else mse_lastdim
+        alpha = gt['alpha']
+        bgv = 1.0 if self.white_bg else 0.0
+
+        def blend(x):
+            return x * alpha + bgv * (1.0 - alpha)
+
+        rgb_pred, rgb_gt = blend(pred['rgb']), blend(gt['rgb'])
+        loss = mse_lastdim(rgb_gt, rgb_pred)
+        if mode == 'vali':
+            return loss
+        if self.shape_mode in ('scratch', 'finetune'):
+            normal_pred, normal_gt = blend(pred['normal']), \
+                blend(gt['normal'])
+            lvis_pred, lvis_gt = blend(pred['lvis']), blend(gt['lvis'])
+            loss += self.normal_loss_weight * mse_lastdim(
+                normal_gt, normal_pred)
+            loss += self.lvis_loss_weight * mse_lastdim(lvis_gt, lvis_pred)
+            if normal_jitter is not None:
+                loss += self.normal_smooth_weight * smooth_loss(
+                    normal_pred, blend(normal_jitter))
+            if lvis_jitter is not None:
+                loss += self.lvis_smooth_weight * smooth_loss(
+                    lvis_pred, blend(lvis_jitter))
+        if albedo_jitter is not None:
+            loss += self.albedo_smooth_weight * smooth_loss(
+                pred['albedo'], albedo_jitter)
+        if brdf_prop_jitter is not None:
+            loss += self.brdf_smooth_weight * smooth_loss(
+                pred['brdf'], brdf_prop_jitter)
+        # Light priors: scalar TV terms broadcast onto the batch vector
+        light = self.light_from(params)
+        if self.light_tv_weight > 0:
+            dx = light - jnp.roll(light, 1, 1)
+            dy = light - jnp.roll(light, 1, 0)
+            loss += self.light_tv_weight * jnp.sum(dx ** 2 + dy ** 2)
+        if self.light_achro_weight > 0:
+            dc = light - jnp.roll(light, 1, 2)
+            loss += self.light_achro_weight * jnp.sum(dc ** 2)
+        return loss
+
+    # ------ host-side vis ------
+
+    def _brdf_prop_as_img(self, brdf_prop, seen_z):
+        """BRDF latent code as RGB, normalized by the span of the seen
+        (MERL) codes (nerfactor.py:543-560)."""
+        seen_z_rgb = np.asarray(seen_z)[:, :min(3, self.z_dim)]
+        min_, max_ = seen_z_rgb.min(), seen_z_rgb.max()
+        range_ = max_ - min_
+        assert range_ > 0, "Range of seen BRDF Zs is 0"
+        z_rgb = brdf_prop[..., :min(3, self.z_dim)]
+        z_rgb = (np.clip(z_rgb, min_, max_) - min_) / range_
+        if z_rgb.shape[-1] == 1:
+            z_rgb = np.concatenate([z_rgb] * 3, axis=-1)
+        return z_rgb
+
+    def vis_batch(self, data_dict, outdir, mode='train', dump_raw_to=None,
+                  light_vis_h=256, olat_vis=False, alpha_thres=0.8):
+        self._validate_mode(mode)
+        data_dict = dict(data_dict)
+        pred_light = np.asarray(data_dict.pop('pred_light'))
+        seen_z = np.asarray(data_dict.pop('seen_z')) \
+            if 'seen_z' in data_dict else None
+        if mode in ('vali', 'test'):
+            # Same for all batches/views of this epoch; do it just once
+            light_vis_path = join(dirname(outdir), 'pred_light.png')
+            if not exists(light_vis_path):
+                light_uint = vis_light(pred_light, h=light_vis_h)
+                ioutil.write_img(
+                    light_uint.astype(np.float32) / 255.0, light_vis_path)
+        if mode == 'train':
+            return
+        hw = tuple(int(x) for x in data_dict.pop('hw'))
+        id_ = data_dict.pop('id')
+        # Reshape flat rays back into images
+        imgs = {}
+        for k, v in data_dict.items():
+            v = np.asarray(v)
+            if k in ('pred_rgb_olat', 'pred_rgb_probes'):
+                imgs[k] = v.reshape(hw + (v.shape[1], 3))
+            elif k.endswith(('rgb', 'albedo', 'normal')):
+                imgs[k] = v.reshape(hw + (3,))
+            elif k.endswith(('occu', 'depth', 'disp', 'alpha')):
+                imgs[k] = v.reshape(hw)
+            elif k.endswith('brdf'):
+                imgs[k] = v.reshape(hw + (-1,))
+            elif k.endswith('lvis'):
+                imgs[k] = v.reshape(hw + (v.shape[-1],))
+            else:
+                raise NotImplementedError(k)
+        alpha = imgs['gt_alpha'].copy()
+        alpha[alpha < alpha_thres] = 0  # stricter compositing
+        orig_light_uint = vis_light(pred_light, h=self.embed_light_h)
+
+        def bg_like(x):
+            return np.ones_like(x) if self.white_bg else np.zeros_like(x)
+
+        def composite_on_avg_light(render, light_uint):
+            # Average the upper hemisphere of the light, weighted by solid
+            # angle, as the background color (nerfactor.py:601-615)
+            lareas = np.asarray(self.lareas)
+            lareas_upper = lareas[:lareas.shape[0] // 2, :]
+            light = imgops.normalize_uint(light_uint)
+            light = imgops.resize(light, new_h=lareas.shape[0])
+            light_upper = light[:light.shape[0] // 2, :, :]
+            avg = np.array([
+                np.average(light_upper[:, :, i], weights=lareas_upper)
+                for i in range(3)])
+            bg = np.tile(avg[None, None, :], render.shape[:2] + (1,))
+            return imgops.alpha_blend(render, alpha, bg)
+
+        img_dict = {}
+        for k, v in imgs.items():
+            if k == 'pred_rgb_olat':
+                olat_first_n = int(np.prod(self.light_res)) // 2  # top half
+                for i, lname in enumerate(self.olat_names[:olat_first_n]):
+                    if i >= v.shape[2]:
+                        break
+                    k_relit = k + '_' + lname
+                    img = composite_on_avg_light(
+                        v[:, :, i, :], self.novel_olat_uint[lname])
+                    img_dict[k_relit] = ioutil.write_img(
+                        img, join(outdir, k_relit + '.png'))
+            elif k == 'pred_rgb_probes':
+                for i, lname in enumerate(self.probe_names):
+                    k_relit = k + '_' + lname
+                    img = composite_on_avg_light(
+                        v[:, :, i, :], self.novel_probes_uint[lname])
+                    img_dict[k_relit] = ioutil.write_img(
+                        img, join(outdir, k_relit + '.png'))
+            elif k.endswith('rgb'):
+                img_dict[k] = ioutil.write_img(
+                    imgops.alpha_blend(v, alpha, bg_like(v)),
+                    join(outdir, k + '.png'))
+            elif k.endswith('normal'):
+                v_ = (v + 1) / 2
+                img_dict[k] = ioutil.write_img(
+                    imgops.alpha_blend(v_, alpha, bg_like(v_)),
+                    join(outdir, k + '.png'))
+            elif k.endswith('albedo'):
+                v_gamma = v ** (1 / 2.2)
+                img_dict[k] = ioutil.write_img(
+                    imgops.alpha_blend(v_gamma, alpha, bg_like(v)),
+                    join(outdir, k + '.png'))
+            elif k.endswith('lvis'):
+                mean = np.mean(v, axis=2)
+                img_dict[k] = ioutil.write_img(
+                    imgops.alpha_blend(mean, alpha, bg_like(mean)),
+                    join(outdir, k + '.png'))
+                if olat_vis and k == 'pred_lvis':
+                    n_olat_vis = 4 if self.debug else v.shape[2] // 2
+                    for i in range(min(n_olat_vis, v.shape[2])):
+                        ij = np.unravel_index(i, self.light_res)
+                        k_olat = k + '_olat_%04d-%04d' % ij
+                        img_dict[k_olat] = ioutil.write_img(
+                            imgops.alpha_blend(
+                                v[:, :, i], alpha, bg_like(mean)),
+                            join(outdir, k_olat + '.png'))
+            elif k.endswith('brdf'):
+                v_ = self._brdf_prop_as_img(v, seen_z)
+                img_dict[k] = ioutil.write_img(
+                    imgops.alpha_blend(v_, alpha, bg_like(v_)),
+                    join(outdir, k + '.png'))
+            else:
+                img_dict[k] = ioutil.write_img(v, join(outdir, k + '.png'))
+        if mode == 'test':
+            ioutil.write_json({'id': id_}, join(outdir, 'metadata.json'))
+            return
+        # Pred-vs-GT flipbooks + PSNR metadata (vali)
+        font_color = (0, 0, 0) if self.white_bg else (1.0, 1.0, 1.0)
+
+        def lbl(img, text):
+            return visutil.put_text(img, text, color=font_color)
+
+        visutil.make_anim(
+            (lbl(img_dict['gt_rgb'], "Ground Truth"),
+             lbl(img_dict['pred_rgb'], "Prediction")),
+            join(outdir, 'pred-vs-gt_rgb.apng'))
+        if self.shape_mode != 'nerf':
+            visutil.make_anim(
+                (lbl(img_dict['gt_normal'], "Initial"),
+                 lbl(img_dict['pred_normal'], "Prediction")),
+                join(outdir, 'pred-vs-gt_normal.apng'))
+            visutil.make_anim(
+                (lbl(img_dict['gt_lvis'], "Initial"),
+                 lbl(img_dict['pred_lvis'], "Prediction")),
+                join(outdir, 'pred-vs-gt_lvis.apng'))
+        psnr = psnr_fn(img_dict['gt_rgb'], img_dict['pred_rgb'])
+        ioutil.write_json(
+            {'id': id_, 'psnr': psnr}, join(outdir, 'metadata.json'))
+
+    def compile_batch_vis(self, batch_vis_dirs, outpref, mode='train',
+                          fps=12):
+        self._validate_mode(mode)
+        if mode == 'train':
+            return None
+        viewer_prefix = self.config.get('viewer_prefix', fallback='')
+        if mode == 'vali':
+            outpath = outpref + '.html'
+            self._compile_into_webpage(batch_vis_dirs, outpath)
+        else:
+            # make_video may fall back to .apng when no video codec is
+            # available; report the path actually written
+            outpath = self._compile_into_video(
+                batch_vis_dirs, outpref + '.mp4', fps=fps)
+        if outpath is None:
+            return None
+        return viewer_prefix + outpath
+
+    def _compile_into_webpage(self, batch_dirs, out_html):
+        rows = []
+        for batch_dir in batch_dirs:
+            metadata = ioutil.read_json(join(batch_dir, 'metadata.json'))
+            row = [str(metadata),
+                   join(batch_dir, 'pred-vs-gt_rgb.apng'),
+                   join(batch_dir, 'pred_rgb.png'),
+                   join(batch_dir, 'pred_albedo.png'),
+                   join(batch_dir, 'pred_brdf.png')]
+            caps = ["Metadata", "RGB", "RGB (pred.)", "Albedo (pred.)",
+                    "BRDF (pred.)"]
+            if self.shape_mode == 'nerf':
+                row += [join(batch_dir, 'gt_normal.png'),
+                        join(batch_dir, 'gt_lvis.png')]
+                caps += ["Normal (initial)", "Light Visibility (initial)"]
+            else:
+                row += [join(batch_dir, 'pred-vs-gt_normal.apng'),
+                        join(batch_dir, 'pred_normal.png'),
+                        join(batch_dir, 'pred-vs-gt_lvis.apng'),
+                        join(batch_dir, 'pred_lvis.png')]
+                caps += ["Normal", "Normal (pred.)", "Light Visibility",
+                         "Light Visibility (pred.)"]
+            rows.append((row, caps))
+        assert rows, "No row"
+        html = visutil.HTML(
+            bgcolor='white' if self.white_bg else 'black',
+            text_color='black' if self.white_bg else 'white')
+        html.add_header("NeRFactor")
+        table = html.add_table()
+        for row, caps in rows:
+            table.add_row(row, ['text'] + ['image'] * (len(row) - 1),
+                          captions=caps)
+        html.save(out_html)
+
+    def _compile_into_video(self, batch_dirs, out_mp4, fps=12):
+        """View synthesis -> final-view OLAT -> roundtrip IBL video
+        (nerfactor.py:816-879)."""
+        if self.config.get('dataset') == 'mvs_shape':
+            data_root = self.config.get('mvs_root')
+        else:
+            data_root = self.config.get('data_root')
+        batch_dirs = sorted(batch_dirs)
+        if self.debug:
+            batch_dirs = batch_dirs[:10]
+        # Estimated-light thumbnail (saved once by vis_batch) to embed into
+        # the view-synthesis frames
+        orig_light_uint = None
+        light_png = join(dirname(batch_dirs[0]), 'pred_light.png')
+        if exists(light_png):
+            orig_light_uint = (
+                ioutil.load_img(light_png) * 255).astype(np.uint8)
+        frames = []
+        # View synthesis under the estimated lighting
+        for batch_dir in batch_dirs:
+            frame = visutil.make_frame(
+                batch_dir,
+                (('normal', 'lvis', 'nn'), ('brdf', 'albedo', 'rgb')),
+                data_root=data_root, rgb_embed_light=orig_light_uint)
+            if frame is not None:
+                frames.append(frame)
+        # Relighting: OLATs on the final view
+        relight_view_dir = batch_dirs[-1]
+        lvis_paths = ioutil.sortglob(relight_view_dir,
+                                     'pred_lvis_olat*.png')
+        for lvis_path in lvis_paths:
+            olat_id = basename(lvis_path)[
+                len('pred_lvis_olat_'):-len('.png')]
+            frame = visutil.make_frame(
+                relight_view_dir,
+                (('normal', 'lvis_olat_%s' % olat_id, 'nn'),
+                 ('brdf', 'albedo', 'rgb_olat_%s' % olat_id)),
+                data_root=data_root,
+                rgb_embed_light=self.novel_olat_uint.get(olat_id))
+            if frame is not None:
+                frames.append(frame)
+        # Simultaneous relighting and view synthesis (probe roundtrip)
+        if self.probe_names:
+            dirs_roundtrip = list(reversed(batch_dirs)) + batch_dirs
+            dirs_roundtrip += dirs_roundtrip
+            n_per_envmap = len(dirs_roundtrip) / len(self.probe_names)
+            map_i = 0
+            for view_i, batch_dir in enumerate(dirs_roundtrip):
+                envmap_name = self.probe_names[map_i]
+                frame = visutil.make_frame(
+                    batch_dir,
+                    (('normal', 'lvis', 'nn'),
+                     ('brdf', 'albedo', 'rgb_probes_%s' % envmap_name)),
+                    data_root=data_root,
+                    rgb_embed_light=self.novel_probes_uint[envmap_name])
+                if frame is not None:
+                    frames.append(frame)
+                if (view_i + 1) > n_per_envmap * (map_i + 1):
+                    map_i += 1
+        if frames:
+            return visutil.make_video(frames, out_mp4, fps=fps)
+        return None

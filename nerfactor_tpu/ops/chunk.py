@@ -27,3 +27,26 @@ def chunked_apply(fn, x, chunk, out_dim=None):
     out = jax.lax.map(fn, xc)
     return jax.tree_util.tree_map(
         lambda y: y.reshape((n_chunks * chunk,) + y.shape[2:])[:n], out)
+
+
+def chunked_apply_tree(fn, tree, chunk):
+    """Like :func:`chunked_apply` but over a pytree of arrays sharing the
+    same leading dim N; ``fn`` maps a chunk-sized pytree to an output
+    pytree whose leaves also lead with the chunk dim."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    assert leaves, "Empty input tree"
+    n = leaves[0].shape[0]
+    if n <= chunk:
+        return fn(tree)
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+
+    def prep(x):
+        if pad:
+            x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+        return x.reshape((n_chunks, chunk) + x.shape[1:])
+
+    tree_c = jax.tree_util.tree_map(prep, tree)
+    out = jax.lax.map(fn, tree_c)
+    return jax.tree_util.tree_map(
+        lambda y: y.reshape((n_chunks * chunk,) + y.shape[2:])[:n], out)

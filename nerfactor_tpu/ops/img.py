@@ -66,12 +66,17 @@ def resize(img, new_h=None, new_w=None):
     if (new_h, new_w) == (h, w):
         return img
     shape = (new_h, new_w) + img.shape[2:]
-    out = jax.image.resize(jnp.asarray(img, jnp.float32), shape,
-                           method='linear', antialias=True)
     if was_np:
+        # Host-side image: keep the op on the CPU backend -- dispatching
+        # tiny thumbnail resizes to a (possibly remote) accelerator costs
+        # a round trip each
+        with jax.default_device(jax.local_devices(backend='cpu')[0]):
+            out = jax.image.resize(jnp.asarray(img, jnp.float32), shape,
+                                   method='linear', antialias=True)
         return np.asarray(out).astype(img.dtype if np.issubdtype(
             img.dtype, np.floating) else np.float32)
-    return out
+    return jax.image.resize(jnp.asarray(img, jnp.float32), shape,
+                            method='linear', antialias=True)
 
 
 def normalize_uint(arr):

@@ -51,6 +51,24 @@ def restore_pytree(template, path_prefix):
     return jax.tree_util.tree_unflatten(treedef, arrays)
 
 
+def restore_trained_params(ckpt_path, template_params, config):
+    """Restores just the model parameters from a trainvali checkpoint
+    (which stores {'params', 'opt_state'}); the optimizer state template
+    is reconstructed from the experiment's config.
+
+    This is how one model composes another's training result at
+    construction time (reference nerfactor.py:59, 156-158)."""
+    from nerfactor_tpu.parallel.train import build_optimizer
+    optimizer = build_optimizer(config)
+    template = {'params': template_params,
+                'opt_state': optimizer.init(template_params)}
+    path = ckpt_path if ckpt_path.endswith('.npz') else ckpt_path + '.npz'
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+    state = restore_pytree(template, ckpt_path)
+    return state['params']
+
+
 class CheckpointManager:
     def __init__(self, ckptdir, max_to_keep=None):
         self.ckptdir = ckptdir

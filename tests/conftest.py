@@ -3,8 +3,15 @@ code paths are exercised without TPU hardware."""
 
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+os.environ['JAX_PLATFORMS'] = 'cpu'
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
+
+# The axon TPU plugin (sitecustomize) pins jax_platforms=axon via
+# jax.config, which beats the env var -- force it back to CPU before any
+# backend is initialized.
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')

@@ -1,0 +1,247 @@
+"""End-to-end joint NeRFactor stage on the analytic sphere.
+
+Exercises: frozen-BRDF restore, shape finetune restore, joint training
+(rgb + smoothness + light TV losses), validation artifacts, the test.py
+driver (relighting, OLAT algebra, albedo/BRDF overrides), and the
+closed-form relighting math against a naive quadrature oracle.
+"""
+
+import json
+import os
+from os.path import join, exists
+
+import numpy as np
+import pytest
+
+from tests import synth
+from nerfactor_tpu.utils import (
+    ckpt as ckptutil, config as configutil, io as ioutil)
+
+
+def _write_fake_experiment(outdir, base_ini, overrides, make_params):
+    """Writes <outdir>.ini + a checkpoint, as if trainvali had run."""
+    import jax
+    from nerfactor_tpu.parallel.train import build_optimizer
+    parser = configutil.read_config(configutil.resolve_config_path(base_ini))
+    configutil.apply_override(parser, overrides)
+    configutil.write_config(parser, outdir + '.ini')
+    config = configutil.Config(parser)
+    params = make_params(config, jax.random.PRNGKey(1))
+    opt_state = build_optimizer(config).init(params)
+    return config, params, opt_state
+
+
+@pytest.fixture(scope='module')
+def pipeline(tmp_path_factory):
+    """Synthetic scene + fake-but-valid BRDF and shape experiments."""
+    root = str(tmp_path_factory.mktemp('nfr_data'))
+    out = str(tmp_path_factory.mktemp('nfr_out'))
+    # 3 test views so debug mode (which globs only view _002) works
+    synth.make_scene(root, n_train=3, n_vali=1, n_test=3, imh=16,
+                     with_buffers=True, light_h=4)
+    # Light probes for relighting (npy so no HDR codec is needed)
+    probe_dir = join(root, 'envmaps')
+    os.makedirs(probe_dir)
+    rng = np.random.RandomState(0)
+    for name in ('courtyard', 'sunset'):
+        ioutil.save_np(rng.rand(4, 8, 3).astype(np.float32),
+                       join(probe_dir, name + '.npy'))
+    # Fake BRDF-prior experiment (tiny MLP, 3 materials)
+    brdf_data = join(root, 'brdf_npz')
+    os.makedirs(brdf_data)
+    for mat in ('alum-bronze', 'pearl-paint', 'red-plastic'):
+        np.savez(join(brdf_data, 'train_%s.npz' % mat),
+                 rusink=np.zeros((4, 3), np.float32),
+                 refl=np.ones((4, 1), np.float32))
+    brdf_out = join(out, 'merl', 'lr1e-2')
+    from nerfactor_tpu.models.brdf import Model as BRDFModel
+    config_brdf, brdf_params, brdf_opt = _write_fake_experiment(
+        brdf_out, 'brdf.ini',
+        'data_root=%s,mlp_width=16,mlp_depth=2,mlp_skip_at=1' % brdf_data,
+        lambda cfg, key: BRDFModel(cfg).init_params(key))
+    ckptutil.save_pytree({'params': brdf_params, 'opt_state': brdf_opt},
+                         join(brdf_out, 'checkpoints', 'ckpt-50'))
+    # Fake shape experiment
+    shape_out = join(out, 'shape', 'lr1e-2')
+    from nerfactor_tpu.models.shape import Model as ShapeModel
+    shape_over = ','.join([
+        'data_root=%s' % root, 'data_nerf_root=%s' % join(root, 'surf'),
+        'imh=16', 'light_h=4', 'mlp_width=16', 'mlp_depth=2',
+        'mlp_skip_at=1', 'mlp_chunk=4096'])
+    config_shape, shape_params, shape_opt = _write_fake_experiment(
+        shape_out, 'shape.ini', shape_over,
+        lambda cfg, key: ShapeModel(cfg).init_params(key))
+    ckptutil.save_pytree({'params': shape_params, 'opt_state': shape_opt},
+                         join(shape_out, 'checkpoints', 'ckpt-2'))
+    return {
+        'root': root, 'out': out, 'probe_dir': probe_dir,
+        'brdf_ckpt': join(brdf_out, 'checkpoints', 'ckpt-50'),
+        'shape_ckpt': join(shape_out, 'checkpoints', 'ckpt-2'),
+    }
+
+
+def _nerfactor_override(p, outroot):
+    return ','.join([
+        'data_root=%s' % p['root'],
+        'data_nerf_root=%s' % join(p['root'], 'surf'),
+        'outroot=%s' % outroot,
+        'brdf_model_ckpt=%s' % p['brdf_ckpt'],
+        'shape_model_ckpt=%s' % p['shape_ckpt'],
+        'test_envmap_dir=%s' % p['probe_dir'],
+        'imh=16', 'light_h=4',
+        'epochs=4', 'ckpt_period=2', 'vali_period=4', 'vali_batches=1',
+        'n_rays_per_step=64',
+        'mlp_width=16', 'mlp_depth=2', 'mlp_skip_at=1', 'mlp_chunk=4096',
+        'lr=5e-3',
+    ])
+
+
+@pytest.fixture(scope='module')
+def nerfactor_run(pipeline):
+    from nerfactor_tpu import trainvali
+    outroot = join(pipeline['out'], 'nerfactor')
+    trainvali.main(['--config', 'nerfactor.ini', '--config_override',
+                    _nerfactor_override(pipeline, outroot)])
+    return join(outroot, 'lr5e-3')
+
+
+def test_joint_training(nerfactor_run):
+    with open(join(nerfactor_run, 'summary_train', 'scalars.jsonl')) as h:
+        recs = [json.loads(line) for line in h]
+    losses = [r['loss_train'] for r in recs if 'loss_train' in r]
+    assert losses, "No training summaries"
+    assert np.isfinite(losses).all(), "Loss went non-finite: %s" % losses
+    assert exists(join(nerfactor_run, 'checkpoints', 'ckpt-4.npz'))
+
+
+def test_vali_artifacts(nerfactor_run):
+    epochs = sorted(os.listdir(join(nerfactor_run, 'vis_vali')))
+    epoch_dir = join(nerfactor_run, 'vis_vali', epochs[-1])
+    assert exists(join(epoch_dir, 'pred_light.png'))
+    batch_dir = join(epoch_dir, 'batch000000000')
+    for f in ('pred_rgb.png', 'gt_rgb.png', 'pred_albedo.png',
+              'pred_brdf.png', 'pred_normal.png', 'pred_lvis.png',
+              'pred-vs-gt_rgb.apng', 'metadata.json'):
+        assert exists(join(batch_dir, f)), "Missing %s" % f
+    metadata = ioutil.read_json(join(batch_dir, 'metadata.json'))
+    assert 'psnr' in metadata and np.isfinite(metadata['psnr'])
+    assert exists(join(epoch_dir, 'all.html'))
+
+
+def test_frozen_brdf_not_updated(pipeline, nerfactor_run):
+    """The BRDF prior must stay bit-identical through joint training."""
+    import jax
+    from nerfactor_tpu.models import get_model_class
+    parser = configutil.read_config(nerfactor_run + '.ini')
+    config = configutil.Config(parser)
+    model = get_model_class('nerfactor')(config)
+    template = model.init_params(jax.random.PRNGKey(0))
+    trained = ckptutil.restore_trained_params(
+        join(nerfactor_run, 'checkpoints', 'ckpt-4'), template, config)
+    # Reload the original prior
+    brdf_ini = configutil.get_config_ini(pipeline['brdf_ckpt'])
+    config_brdf = configutil.Config(configutil.read_config(brdf_ini))
+    from nerfactor_tpu.models.brdf import Model as BRDFModel
+    orig = ckptutil.restore_trained_params(
+        pipeline['brdf_ckpt'],
+        BRDFModel(config_brdf).init_params(jax.random.PRNGKey(1)),
+        config_brdf)
+    for key in ('brdf_mlp', 'brdf_out'):
+        t = jax.tree_util.tree_leaves(trained[key])
+        o = jax.tree_util.tree_leaves(orig[key])
+        for a, b in zip(t, o):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # The light and albedo head DID train
+    assert not np.allclose(np.asarray(trained['light']),
+                           np.asarray(template['light']))
+
+
+def test_test_driver(nerfactor_run):
+    """test.py: relighting + view synthesis on the test trajectory."""
+    from nerfactor_tpu import test as test_driver
+    ckpt = join(nerfactor_run, 'checkpoints', 'ckpt-4')
+    test_driver.main(['--ckpt', ckpt])
+    outroot = join(nerfactor_run, 'vis_test', 'ckpt-4')
+    batch_dirs = ioutil.sortglob(outroot, 'batch?????????')
+    assert len(batch_dirs) == 3, "Expected 3 test views"
+    first, last = batch_dirs[0], batch_dirs[-1]
+    for f in ('pred_rgb.png', 'pred_albedo.png', 'pred_brdf.png',
+              'pred_rgb_probes_courtyard.png',
+              'pred_rgb_probes_sunset.png', 'metadata.json'):
+        assert exists(join(first, f)), "Missing %s" % f
+    # OLAT relighting only on the final view
+    olats_first = ioutil.sortglob(first, 'pred_rgb_olat_*.png')
+    olats_last = ioutil.sortglob(last, 'pred_rgb_olat_*.png')
+    assert not olats_first and olats_last
+    # Compiled video (mp4 or apng fallback)
+    assert exists(outroot + '.mp4') or exists(outroot + '.apng')
+
+
+def test_brdf_override(nerfactor_run):
+    from nerfactor_tpu import test as test_driver
+    ckpt = join(nerfactor_run, 'checkpoints', 'ckpt-4')
+    test_driver.main(['--ckpt', ckpt, '--tgt_brdf', 'pearl-paint',
+                      '--debug'])
+    outroot = join(nerfactor_run, 'vis_test', 'ckpt-4_pearl-paint')
+    assert exists(join(outroot, 'batch000000000', 'pred_rgb.png'))
+
+
+def test_albedo_override(nerfactor_run):
+    from nerfactor_tpu import test as test_driver
+    ckpt = join(nerfactor_run, 'checkpoints', 'ckpt-4')
+    test_driver.main(['--ckpt', ckpt, '--tgt_albedo', 'gold', '--debug'])
+    outroot = join(nerfactor_run, 'vis_test', 'ckpt-4_gold')
+    assert exists(join(outroot, 'batch000000000', 'pred_rgb.png'))
+
+
+def test_relight_algebra_vs_quadrature(pipeline):
+    """OLAT/probe closed forms == naive per-light re-integration."""
+    import jax
+    import jax.numpy as jnp
+    from nerfactor_tpu.models import get_model_class
+    parser = configutil.read_config(
+        configutil.resolve_config_path('nerfactor.ini'))
+    configutil.apply_override(
+        parser, _nerfactor_override(pipeline, join(pipeline['out'], 'alg')))
+    config = configutil.Config(parser)
+    model = get_model_class('nerfactor')(config)
+    params = model.init_params(jax.random.PRNGKey(3))
+    rng = np.random.RandomState(0)
+    n, n_lights = 8, model.n_lights
+    lvis = jnp.asarray(rng.rand(n, n_lights), jnp.float32)
+    brdf = jnp.asarray(rng.rand(n, n_lights, 3), jnp.float32)
+    l = jnp.asarray(rng.randn(n, n_lights, 3), jnp.float32)
+    l = l / jnp.linalg.norm(l, axis=-1, keepdims=True)
+    nrm = jnp.asarray(rng.randn(n, 3), jnp.float32)
+    nrm = nrm / jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+    rgb, rgb_olat, rgb_probes = model.render(
+        params, lvis, brdf, l, nrm, relight_olat=True, relight_probes=True)
+    # Naive oracle: re-integrate per light condition
+    contrib = np.asarray(model._light_contrib(lvis, brdf, l, nrm))
+
+    def integrate(light_flat):
+        out = np.einsum('nlc,lc->nc', contrib, light_flat)
+        out = np.clip(out, 0, 1)
+        return np.asarray(
+            jnp.asarray(out) if not model.linear2srgb
+            else __import__('nerfactor_tpu.ops.img', fromlist=['x'])
+            .linear2srgb(jnp.asarray(out)))
+
+    light = np.clip(np.asarray(params['light']), 0, None).reshape(-1, 3)
+    np.testing.assert_allclose(np.asarray(rgb), integrate(light),
+                               rtol=1e-5, atol=1e-5)
+    # A couple of OLATs
+    for k in (0, n_lights - 1):
+        olat = np.zeros((n_lights, 3), np.float32)
+        olat[k] = model.olat_inten
+        if model.ambient_inten > 0:
+            olat += model.ambient_inten
+        np.testing.assert_allclose(
+            np.asarray(rgb_olat[:, k]), integrate(olat),
+            rtol=1e-5, atol=1e-5)
+    # Probes
+    for p, name in enumerate(model.probe_names):
+        probe = model.novel_probes[name].reshape(-1, 3)
+        np.testing.assert_allclose(
+            np.asarray(rgb_probes[:, p]), integrate(probe),
+            rtol=1e-4, atol=1e-5)
