@@ -114,6 +114,7 @@ def main(argv=None):
                     args.spp)
     brdf_paths = [p for p in ioutil.sortglob(args.indir)
                   if p.endswith('.binary')]
+    assert brdf_paths, "No .binary MERL file under %s" % args.indir
     logger.info("Converting %d MERL materials", len(brdf_paths))
     for i, path in enumerate(brdf_paths):
         convert_material(path, i, renderer, args)
