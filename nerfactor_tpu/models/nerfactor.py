@@ -33,6 +33,7 @@ from nerfactor_tpu.models.losses import mse_lastdim, mae_lastdim
 from nerfactor_tpu.ops import encoding
 from nerfactor_tpu.ops import geom as geomops
 from nerfactor_tpu.ops import img as imgops
+from nerfactor_tpu.ops import pallas_mlp
 from nerfactor_tpu.ops.chunk import chunked_apply_tree
 from nerfactor_tpu.ops.light import make_olat_envmaps, vis_light, load_light
 from nerfactor_tpu.ops.math import safe_l2_normalize
@@ -195,6 +196,21 @@ class Model(ShapeModel):
         return networks.MLPSpec(
             self.specs['brdf_z_mlp'].out_dim, [self.z_dim], acts=None)
 
+    def _init_plans(self):
+        super()._init_plans()
+        xyz_part = [(3, self._nf(self.n_freqs_xyz))]
+        self.plans['albedo'] = pallas_mlp.plan_from_specs(
+            xyz_part, self.specs['albedo_mlp'], self.specs['albedo_out'])
+        if self.pred_brdf:
+            self.plans['brdf_z'] = pallas_mlp.plan_from_specs(
+                xyz_part, self.specs['brdf_z_mlp'],
+                self.specs['brdf_z_out'])
+        if self.uses_learned_brdf:
+            nf_rusink = self.n_freqs_rusink if self.pos_enc_rusink else 0
+            self.plans['brdf'] = pallas_mlp.plan_from_specs(
+                [(self.z_dim, 0), (3, nf_rusink)],
+                self.specs['brdf_mlp'], self.specs['brdf_out'])
+
     def init_params(self, key):
         """Fresh heads + restored frozen/finetuned submodel weights
         (nerfactor.py:58-60, 155-162)."""
@@ -272,16 +288,14 @@ class Model(ShapeModel):
         """Albedo in [bias, slope + bias] ~ [0.03, 0.8]
         (nerfactor.py:377-396)."""
         pts_scaled = self.xyz_scale * pts
-        feat = self.specs['albedo_mlp'].apply(
-            params['albedo_mlp'], self._embed_xyz(pts_scaled))
-        albedo = self.specs['albedo_out'].apply(params['albedo_out'], feat)
+        albedo = self._chain(params, 'albedo_mlp', 'albedo_out',
+                             self.plans['albedo'], pts_scaled)
         return self.albedo_slope * albedo + self.albedo_bias
 
     def pred_brdf_at(self, params, pts):
         pts_scaled = self.xyz_scale * pts
-        feat = self.specs['brdf_z_mlp'].apply(
-            params['brdf_z_mlp'], self._embed_xyz(pts_scaled))
-        z = self.specs['brdf_z_out'].apply(params['brdf_z_out'], feat)
+        z = self._chain(params, 'brdf_z_mlp', 'brdf_z_out',
+                        self.plans['brdf_z'], pts_scaled)
         if self.normalize_brdf_z:
             z = safe_l2_normalize(z, axis=1)
         return z
@@ -313,10 +327,9 @@ class Model(ShapeModel):
         z_flat = jnp.broadcast_to(
             brdf_prop[:, None, :], (n, l, self.z_dim)).reshape(
                 -1, self.z_dim)
-        z_rusink = jnp.concatenate(
-            (z_flat, self._embed_rusink(rusink)), axis=1)
-        feat = self.specs['brdf_mlp'].apply(params['brdf_mlp'], z_rusink)
-        spec_flat = self.specs['brdf_out'].apply(params['brdf_out'], feat)
+        z_rusink_raw = jnp.concatenate((z_flat, rusink), axis=1)
+        spec_flat = self._chain(params, 'brdf_mlp', 'brdf_out',
+                                self.plans['brdf'], z_rusink_raw)
         # Zero out back-lit directions (local cos = ldir_z <= 0)
         front_lit = ldir_flat[:, 2:] > 0
         spec = jnp.where(front_lit, spec_flat, 0.0).reshape(n, l, 1)

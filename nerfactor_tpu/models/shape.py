@@ -19,6 +19,7 @@ from nerfactor_tpu.models import networks
 from nerfactor_tpu.models.losses import mse_lastdim, mae_lastdim
 from nerfactor_tpu.ops import encoding
 from nerfactor_tpu.ops import img as imgops
+from nerfactor_tpu.ops import pallas_mlp
 from nerfactor_tpu.ops.light import gen_light_xyz
 from nerfactor_tpu.ops.math import safe_l2_normalize
 from nerfactor_tpu.utils import io as ioutil, vis as visutil
@@ -58,7 +59,14 @@ class Model(BaseModel):
         # Eval ray chunk for the N x L blow-up
         mlp_chunk = config.getint('mlp_chunk', fallback=1048576)
         self.eval_ray_chunk = max(64, mlp_chunk // max(self.n_lights, 1))
+        # Fused Pallas embed->MLP->head chains. Measured on v5e: the
+        # XLA path wins for the joint train step (43 vs 171 ms/step at
+        # 1024 rays x 512 lights) because its full-batch matmuls beat
+        # the kernel's VMEM-bounded small row blocks; the kernel is kept
+        # as an option pending better blocking of the dW accumulation.
+        self.fused_mlp = config.getboolean('fused_mlp', fallback=False)
         self._init_specs()
+        self._init_plans()
 
     def _gen_lights(self):
         mvs_root = self.config.get('mvs_root', fallback=None)
@@ -92,6 +100,27 @@ class Model(BaseModel):
         self.specs['lvis_out'] = networks.MLPSpec(
             self.specs['lvis_mlp'].out_dim, [1], acts='sigmoid')
 
+    def _nf(self, n_freqs):
+        return n_freqs if self.pos_enc else 0
+
+    def _init_plans(self):
+        self.plans = {}
+        if 'normal_mlp' in self.specs:
+            self.plans['normal'] = pallas_mlp.plan_from_specs(
+                [(3, self._nf(self.n_freqs_xyz))],
+                self.specs['normal_mlp'], self.specs['normal_out'])
+            self.plans['lvis'] = pallas_mlp.plan_from_specs(
+                [(3, self._nf(self.n_freqs_xyz)),
+                 (3, self._nf(self.n_freqs_ldir))],
+                self.specs['lvis_mlp'], self.specs['lvis_out'])
+
+    def _chain(self, params, mlp_name, out_name, plan, x_raw):
+        """One fused embed->MLP->head evaluation."""
+        p = pallas_mlp.params_from_tree(params[mlp_name],
+                                        params[out_name])
+        return pallas_mlp.apply_chain(
+            plan, x_raw, p, force_reference=not self.fused_mlp)
+
     def init_params(self, key):
         params = {}
         for name, spec in self.specs.items():
@@ -122,9 +151,8 @@ class Model(BaseModel):
 
     def pred_normal_at(self, params, pts, eps=1e-6):
         pts_scaled = self.xyz_scale * pts
-        feat = self.specs['normal_mlp'].apply(
-            params['normal_mlp'], self._embed_xyz(pts_scaled))
-        normal = self.specs['normal_out'].apply(params['normal_out'], feat)
+        normal = self._chain(params, 'normal_mlp', 'normal_out',
+                             self.plans['normal'], pts_scaled)
         # eps avoids all-zero normals producing zero tangents downstream
         return normal + eps
 
@@ -133,11 +161,10 @@ class Model(BaseModel):
         n, l = surf2l.shape[0], surf2l.shape[1]
         pts_scaled = self.xyz_scale * pts
         surf_rep = jnp.broadcast_to(pts_scaled[:, None, :], (n, l, 3))
-        x = jnp.concatenate(
-            (self._embed_xyz(surf_rep.reshape(-1, 3)),
-             self._embed_ldir(surf2l.reshape(-1, 3))), axis=-1)
-        feat = self.specs['lvis_mlp'].apply(params['lvis_mlp'], x)
-        lvis = self.specs['lvis_out'].apply(params['lvis_out'], feat)
+        x_raw = jnp.concatenate(
+            (surf_rep.reshape(-1, 3), surf2l.reshape(-1, 3)), axis=-1)
+        lvis = self._chain(params, 'lvis_mlp', 'lvis_out',
+                           self.plans['lvis'], x_raw)
         return lvis.reshape(n, l)
 
     def _forward_chunked(self, fn, pts, chunk):

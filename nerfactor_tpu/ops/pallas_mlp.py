@@ -1,0 +1,423 @@
+"""Fused positional-encoding -> skip-MLP -> head chains as one Pallas
+TPU kernel (forward + recompute backward).
+
+Why: every hot path in this framework is a small MLP (width 128-256,
+depth 4-8) evaluated over enormous row counts (rays x 512 lights x
+samples). Left to XLA, each layer's (N, 128) activation round-trips HBM
+-- at N = 5e5 that is ~270 MB per layer per direction, which dwarfs the
+model FLOPs and makes every stage HBM-bound (the reference instead
+chunks these loops in Python, nerfactor/models/shape.py:184-194). This
+kernel walks row blocks once: the embedding, all hidden activations and
+the head live in VMEM; HBM sees only the raw input rows and the output
+rows. The backward pass recomputes activations per block (flash-style)
+and accumulates dW/db across the sequential grid.
+
+Semantics mirror networks.apply_mlp + ops.encoding.posenc exactly:
+  * embed layout per part: [x, sin(f0 x), cos(f0 x), sin(f1 x), ...];
+  * input-skip concat after layer i in ``skip_at`` (the next layer sees
+    [h, e]); implemented by splitting that layer's weight instead of
+    materializing the concat.
+
+Use :func:`apply_chain`; it dispatches to the kernel on TPU and to the
+pure-JAX reference implementation elsewhere (so CPU tests exercise the
+same math and serve as the oracle).
+"""
+
+import functools
+from collections import namedtuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nerfactor_tpu.ops import encoding
+
+# Static description of one fused chain. All fields are hashable.
+#   embed_parts: tuple of (raw_dim, n_freqs); n_freqs=0 -> passthrough.
+#   widths: tuple of layer output widths (hidden layers + head).
+#   acts: tuple of activation names per layer
+#         ('relu' | 'sigmoid' | 'softplus' | None).
+#   skip_at: tuple of layer indices i such that AFTER layer i the
+#            embedded input is concatenated onto the activation.
+Plan = namedtuple('Plan', 'embed_parts widths acts skip_at')
+
+
+def make_plan(embed_parts, widths, acts, skip_at):
+    return Plan(tuple(tuple(p) for p in embed_parts), tuple(widths),
+                tuple(acts), tuple(sorted(skip_at or ())))
+
+
+def embed_dim(plan):
+    return sum(encoding.embed_dims(d, f) if f else d
+               for d, f in plan.embed_parts)
+
+
+def raw_dim(plan):
+    return sum(d for d, _ in plan.embed_parts)
+
+
+def layer_in_dims(plan):
+    """Fan-in of each layer, accounting for skip concats."""
+    e = embed_dim(plan)
+    dims, prev = [], e
+    for i, w in enumerate(plan.widths):
+        dims.append(prev)
+        prev = w + (e if i in plan.skip_at else 0)
+    return dims
+
+
+def out_dim(plan):
+    last = len(plan.widths) - 1
+    return plan.widths[-1] + (embed_dim(plan) if last in plan.skip_at
+                              else 0)
+
+
+# ------ shared math (runs both inside the kernel and as reference) ------
+
+def _embed(plan, x):
+    parts, col = [], 0
+    for d, f in plan.embed_parts:
+        xp = x[:, col:col + d]
+        col += d
+        if f:
+            parts.append(xp)
+            for j in range(f):
+                freq = 2.0 ** j
+                parts.append(jnp.sin(freq * xp))
+                parts.append(jnp.cos(freq * xp))
+        else:
+            parts.append(xp)
+    return jnp.concatenate(parts, axis=1)
+
+
+def _embed_bwd(plan, x, de):
+    """d embed / d x applied to cotangent ``de``."""
+    dx_parts, col, ecol = [], 0, 0
+    for d, f in plan.embed_parts:
+        xp = x[:, col:col + d]
+        col += d
+        if f:
+            dxp = de[:, ecol:ecol + d]
+            ecol += d
+            for j in range(f):
+                freq = 2.0 ** j
+                dsin = de[:, ecol:ecol + d]
+                dcos = de[:, ecol + d:ecol + 2 * d]
+                ecol += 2 * d
+                dxp = dxp + freq * (jnp.cos(freq * xp) * dsin
+                                    - jnp.sin(freq * xp) * dcos)
+            dx_parts.append(dxp)
+        else:
+            dx_parts.append(de[:, ecol:ecol + d])
+            ecol += d
+    return jnp.concatenate(dx_parts, axis=1)
+
+
+def _act(name, pre):
+    if name is None or name == 'none':
+        return pre
+    if name == 'relu':
+        return jnp.maximum(pre, 0.0)
+    if name == 'sigmoid':
+        return jax.nn.sigmoid(pre)
+    if name == 'softplus':
+        return jax.nn.softplus(pre)
+    raise NotImplementedError(name)
+
+
+def _act_bwd(name, pre, post, d):
+    if name is None or name == 'none':
+        return d
+    if name == 'relu':
+        return jnp.where(pre > 0, d, 0.0)
+    if name == 'sigmoid':
+        return d * post * (1.0 - post)
+    if name == 'softplus':
+        return d * jax.nn.sigmoid(pre)
+    raise NotImplementedError(name)
+
+
+def _dot(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _embed_dot(plan, x, w, row0=0):
+    """embed(x) @ w[row0:row0+E] computed part-by-part WITHOUT
+    materializing the concatenated embedding -- inside the kernel this
+    keeps at most one (block, d) temporary alive at a time instead of
+    2*n_freqs+1 of them (each lane-padded to 128 wide in VMEM)."""
+    acc = None
+    col, er = 0, row0
+
+    def add(acc, t, rows):
+        nonlocal er
+        term = _dot(t, w[er:er + rows])
+        er += rows
+        return term if acc is None else acc + term
+
+    for d, f in plan.embed_parts:
+        xp = x[:, col:col + d]
+        col += d
+        acc = add(acc, xp, d)
+        for j in range(f):
+            freq = 2.0 ** j
+            acc = add(acc, jnp.sin(freq * xp), d)
+            acc = add(acc, jnp.cos(freq * xp), d)
+    return acc
+
+
+def _forward_ref(plan, x, params):
+    """XLA-path forward: materializes the embedding once and uses one
+    full-width matmul per layer (optimal for XLA: the MXU sees large
+    K instead of 2*n_freqs+1 skinny K=3 dots)."""
+    e = _embed(plan, x)
+    h = e
+    for i, ((w, b), act) in enumerate(zip(params, plan.acts)):
+        hw = h.shape[1]
+        if i > 0 and (i - 1) in plan.skip_at:
+            pre = _dot(h, w[:hw]) + _dot(e, w[hw:]) + b
+        else:
+            pre = _dot(h, w) + b
+        h = _act(act, pre)
+    last = len(plan.widths) - 1
+    return jnp.concatenate([h, e], axis=1) if last in plan.skip_at else h
+
+
+def _forward(plan, x, params, keep_hidden=True):
+    """Kernel-path forward (accumulation form, VMEM-friendly);
+    optionally returns hidden pres/posts for the backward recompute."""
+    h = None
+    pres, posts = [], []
+    e_dim = embed_dim(plan)
+    for i, ((w, b), act) in enumerate(zip(params, plan.acts)):
+        if i == 0:
+            pre = _embed_dot(plan, x, w) + b
+        elif (i - 1) in plan.skip_at:
+            hw = h.shape[1]
+            pre = _dot(h, w[:hw]) + _embed_dot(plan, x, w, row0=hw) + b
+        else:
+            pre = _dot(h, w) + b
+        h = _act(act, pre)
+        if keep_hidden:
+            pres.append(pre)
+            posts.append(h)
+    last = len(plan.widths) - 1
+    if last in plan.skip_at:
+        y = jnp.concatenate([h, _embed(plan, x)], axis=1)
+    else:
+        y = h
+    return y, pres, posts
+
+
+def chain_reference(plan, x, params):
+    """Pure-JAX reference (identical math; autodiff handles backward)."""
+    return _forward_ref(plan, x, params)
+
+
+# ------ Pallas kernels ------
+
+def _flatten_params(params):
+    flat = []
+    for w, b in params:
+        flat.append(w)
+        flat.append(b.reshape(1, -1))
+    return flat
+
+
+def _fwd_kernel(plan, x_ref, *refs):
+    y_ref = refs[-1]
+    params = [(refs[2 * i][:], refs[2 * i + 1][:])
+              for i in range(len(plan.widths))]
+    y, _, _ = _forward(plan, x_ref[:], params, keep_hidden=False)
+    y_ref[:] = y
+
+
+def _bwd_kernel(plan, x_ref, dy_ref, *refs):
+    n_layers = len(plan.widths)
+    w_refs = refs[:2 * n_layers]
+    dx_ref = refs[2 * n_layers]
+    dwb_refs = refs[2 * n_layers + 1:]
+    params = [(w_refs[2 * i][:], w_refs[2 * i + 1][:])
+              for i in range(n_layers)]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for r in dwb_refs:
+            r[:] = jnp.zeros(r.shape, r.dtype)
+
+    x = x_ref[:]
+    _, pres, posts = _forward(plan, x, params)
+    e = _embed(plan, x)
+    last = n_layers - 1
+    dy = dy_ref[:]
+    if last in plan.skip_at:
+        d_h = dy[:, :plan.widths[-1]]
+        d_e = dy[:, plan.widths[-1]:]
+    else:
+        d_h = dy
+        d_e = jnp.zeros_like(e)
+    for i in range(last, -1, -1):
+        w, _ = params[i]
+        d_pre = _act_bwd(plan.acts[i], pres[i], posts[i], d_h)
+        h_in = posts[i - 1] if i > 0 else e
+        hw = h_in.shape[1]
+        skip_in = i > 0 and (i - 1) in plan.skip_at
+        if skip_in:
+            dwb_refs[2 * i][:hw] += _dot(h_in.T, d_pre)
+            dwb_refs[2 * i][hw:] += _dot(e.T, d_pre)
+            d_h = _dot(d_pre, w[:hw].T)
+            d_e = d_e + _dot(d_pre, w[hw:].T)
+        else:
+            dwb_refs[2 * i][:] += _dot(h_in.T, d_pre)
+            d_h = _dot(d_pre, w.T)
+        dwb_refs[2 * i + 1][:] += jnp.sum(d_pre, axis=0, keepdims=True)
+    d_e = d_e + d_h  # d_h now holds the cotangent w.r.t. the embedding
+    dx_ref[:] = _embed_bwd(plan, x, d_e)
+
+
+def _pick_block_rows(plan, backward=False):
+    """Largest row block whose recompute stash fits comfortably in
+    VMEM. Mosaic's scoped-stack allocation runs ~4x this estimate
+    (embedding temporaries, dot operand accumulators), so the budget is
+    conservative relative to the ~16 MB of VMEM per core."""
+    # Account for VMEM lane padding: every (block, d) temporary costs
+    # at least (block, 128) floats
+    pad = lambda d: max(d, 128)
+    stash = sum(2 * pad(w) for w in plan.widths) \
+        + 3 * pad(embed_dim(plan)) + pad(raw_dim(plan))
+    # The backward recompute keeps every layer's pre/post plus the dW
+    # accumulators and gradient temporaries alive -- give it half the
+    # footprint headroom of the forward
+    budget = (3 if backward else 6) * 1024 * 1024
+    for block in (2048, 1024, 512, 256):
+        if stash * block * 4 <= budget:
+            return block
+    return 128
+
+
+def _pad_rows(x, block):
+    n = x.shape[0]
+    pad = (-n) % block
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+    return x
+
+
+def _full_spec(shape):
+    return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                        memory_space=pltpu.VMEM)
+
+
+def _row_spec(block, dim):
+    return pl.BlockSpec((block, dim), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+# Flipped by tests to exercise the kernels on CPU via the interpreter
+INTERPRET = False
+
+
+def _pallas_forward(plan, x, params):
+    n = x.shape[0]
+    block = _pick_block_rows(plan)
+    xp = _pad_rows(x, block)
+    grid = xp.shape[0] // block
+    flat = _flatten_params(params)
+    in_specs = [_row_spec(block, raw_dim(plan))]
+    for arr in flat:
+        in_specs.append(_full_spec(arr.shape))
+    y = pl.pallas_call(
+        functools.partial(_fwd_kernel, plan),
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=_row_spec(block, out_dim(plan)),
+        out_shape=jax.ShapeDtypeStruct((xp.shape[0], out_dim(plan)),
+                                       jnp.float32),
+        interpret=INTERPRET,
+    )(xp, *flat)
+    return y[:n]
+
+
+def _pallas_backward(plan, x, params, dy):
+    n = x.shape[0]
+    block = _pick_block_rows(plan, backward=True)
+    xp = _pad_rows(x, block)
+    dyp = _pad_rows(dy, block)
+    grid = xp.shape[0] // block
+    flat = _flatten_params(params)
+    in_specs = [_row_spec(block, raw_dim(plan)),
+                _row_spec(block, out_dim(plan))]
+    for arr in flat:
+        in_specs.append(_full_spec(arr.shape))
+    out_specs = [_row_spec(block, raw_dim(plan))]
+    out_shapes = [jax.ShapeDtypeStruct((xp.shape[0], raw_dim(plan)),
+                                       jnp.float32)]
+    for arr in flat:
+        out_specs.append(_full_spec(arr.shape))
+        out_shapes.append(jax.ShapeDtypeStruct(arr.shape, jnp.float32))
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, plan),
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=INTERPRET,
+    )(xp, dyp, *flat)
+    dx = outs[0][:n]
+    dflat = outs[1:]
+    dparams = [(dflat[2 * i], dflat[2 * i + 1].reshape(-1))
+               for i in range(len(plan.widths))]
+    return dx, dparams
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_chain(plan, x, params):
+    return _pallas_forward(plan, x, params)
+
+
+def _fused_chain_fwd(plan, x, params):
+    return _pallas_forward(plan, x, params), (x, params)
+
+
+def _fused_chain_bwd(plan, res, dy):
+    x, params = res
+    dx, dparams = _pallas_backward(plan, x, params, dy)
+    return dx, dparams
+
+
+_fused_chain.defvjp(_fused_chain_fwd, _fused_chain_bwd)
+
+
+def apply_chain(plan, x, params, force_reference=False):
+    """Runs the fused embed->MLP->head chain.
+
+    Args:
+      plan: a :func:`make_plan` result (static).
+      x: (N, raw_dim) raw inputs (pre-embedding).
+      params: list of (w, b) tuples over ALL layers (hidden + head).
+
+    Dispatches to the Pallas kernel on TPU, reference JAX otherwise.
+    """
+    params = [(w, b) for w, b in params]
+    if force_reference or (jax.default_backend() != 'tpu'
+                           and not INTERPRET):
+        return chain_reference(plan, x, params)
+    return _fused_chain(plan, x, params)
+
+
+def plan_from_specs(embed_parts, mlp_spec, out_spec):
+    """Builds a Plan from a hidden MLPSpec + head MLPSpec pair (the
+    shape every model in this framework uses)."""
+    widths = tuple(mlp_spec.widths) + tuple(out_spec.widths)
+    acts = tuple([mlp_spec.acts] * len(mlp_spec.widths)
+                 + [out_spec.acts] * len(out_spec.widths))
+    skip = tuple(mlp_spec.skip_at or ())
+    return make_plan(embed_parts, widths, acts, skip)
+
+
+def params_from_tree(params_mlp, params_out):
+    """Flattens our networks.init_mlp param lists into (w, b) pairs."""
+    return [(l['w'], l['b']) for l in list(params_mlp) + list(params_out)]

@@ -1,0 +1,117 @@
+"""Fused Pallas MLP chain vs the pure-JAX reference (which itself is
+pinned to networks.apply_mlp + ops.encoding.posenc semantics by
+test_networks_losses_ckpt). Kernels run through the Pallas interpreter
+on the CPU test mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerfactor_tpu.models import networks
+from nerfactor_tpu.ops import encoding, pallas_mlp as pm
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    pm.INTERPRET = True
+    yield
+    pm.INTERPRET = False
+
+
+def make_params(plan, seed=0, scale=0.3):
+    rng = np.random.RandomState(seed)
+    dims = pm.layer_in_dims(plan)
+    return [
+        (jnp.asarray(rng.randn(dims[i], w) * scale, jnp.float32),
+         jnp.asarray(rng.randn(w) * 0.05, jnp.float32))
+        for i, w in enumerate(plan.widths)]
+
+
+PLANS = [
+    # shape-model lvis chain: two embedded parts, mid skip, sigmoid head
+    pm.make_plan([(3, 4), (3, 2)], (16, 16, 16, 16, 1),
+                 ('relu',) * 4 + ('sigmoid',), (1,)),
+    # brdf prior: raw latent part + embedded rusink, softplus head
+    pm.make_plan([(3, 0), (3, 2)], (16, 16, 1),
+                 ('relu', 'relu', 'softplus'), (0,)),
+    # no posenc at all, no skip, linear head
+    pm.make_plan([(5, 0)], (8, 3), ('relu', None), ()),
+    # skip on the LAST layer (output includes the embedding concat)
+    pm.make_plan([(3, 2)], (8, 8), ('relu', 'relu'), (1,)),
+]
+
+
+@pytest.mark.parametrize('plan', PLANS)
+@pytest.mark.parametrize('n', [64, 100])  # 100 exercises row padding
+def test_forward_matches_reference(plan, n):
+    params = make_params(plan)
+    x = jnp.asarray(np.random.RandomState(1).randn(n, pm.raw_dim(plan)),
+                    jnp.float32)
+    ref = pm.chain_reference(plan, x, params)
+    out = pm._fused_chain(plan, x, params)
+    assert out.shape == (n, pm.out_dim(plan))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize('plan', PLANS)
+def test_gradients_match_reference(plan):
+    params = make_params(plan)
+    x = jnp.asarray(np.random.RandomState(2).randn(70, pm.raw_dim(plan)),
+                    jnp.float32)
+    co = jnp.asarray(
+        np.random.RandomState(3).randn(70, pm.out_dim(plan)), jnp.float32)
+
+    def loss(fn):
+        return lambda x_, p_: jnp.sum(fn(plan, x_, p_) * co)
+
+    gx_r, gp_r = jax.grad(loss(pm.chain_reference), argnums=(0, 1))(
+        x, params)
+    gx_k, gp_k = jax.grad(loss(pm._fused_chain), argnums=(0, 1))(
+        x, params)
+    np.testing.assert_allclose(np.asarray(gx_k), np.asarray(gx_r),
+                               rtol=1e-4, atol=1e-4)
+    for (wr, br), (wk, bk) in zip(gp_r, gp_k):
+        np.testing.assert_allclose(np.asarray(wk), np.asarray(wr),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(bk), np.asarray(br),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_reference_matches_networks_apply():
+    """chain_reference == embed + apply_mlp + head (the model path)."""
+    mlp_spec = networks.MLPSpec(
+        encoding.embed_dims(3, 4), [16, 16, 16], acts='relu', skip_at=[1])
+    out_spec = networks.MLPSpec(mlp_spec.out_dim, [2], acts='sigmoid')
+    plan = pm.plan_from_specs([(3, 4)], mlp_spec, out_spec)
+    key = jax.random.PRNGKey(0)
+    p_mlp = mlp_spec.init(key)
+    p_out = out_spec.init(jax.random.PRNGKey(1))
+    x = jnp.asarray(np.random.RandomState(4).randn(33, 3), jnp.float32)
+    via_model = out_spec.apply(p_out, mlp_spec.apply(
+        p_mlp, encoding.posenc(x, 4)))
+    via_chain = pm.chain_reference(
+        plan, x, pm.params_from_tree(p_mlp, p_out))
+    np.testing.assert_allclose(np.asarray(via_chain),
+                               np.asarray(via_model), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_kernel_under_jit_and_vjp_in_train_shape():
+    """The exact shape-model lvis configuration, under jit."""
+    plan = pm.make_plan([(3, 10), (3, 4)], (128,) * 4 + (1,),
+                        ('relu',) * 4 + ('sigmoid',), (1,))
+    params = make_params(plan, seed=5, scale=0.1)
+    x = jnp.asarray(
+        np.random.RandomState(6).randn(256, 6), jnp.float32)
+
+    @jax.jit
+    def f(x_, p_):
+        return jnp.mean(pm._fused_chain(plan, x_, p_) ** 2)
+
+    val = f(x, params)
+    g = jax.jit(jax.grad(f, argnums=1))(x, params)
+    ref_val = jnp.mean(pm.chain_reference(plan, x, params) ** 2)
+    np.testing.assert_allclose(float(val), float(ref_val), rtol=1e-5)
+    assert all(np.isfinite(np.asarray(w)).all() for w, _ in g)
