@@ -74,6 +74,23 @@ def ssim(gt, pred, keep_batch=False, weights=None, max_val=1.0):
     return loss if keep_batch else jnp.mean(loss)
 
 
+def rgb_to_yuv(rgb):
+    """BT.601 RGB->YUV, matching tf.image.rgb_to_yuv."""
+    m = jnp.array([[0.299, -0.14714119, 0.61497538],
+                   [0.587, -0.28886916, -0.51496512],
+                   [0.114, 0.43601035, -0.10001026]], rgb.dtype)
+    return rgb @ m
+
+
+def uvl2(gt, pred, keep_batch=False, weights=None):
+    """L2 on the chroma (UV of YUV) channels only (reference
+    losses.py:49-67): penalizes hue/saturation error, not brightness."""
+    gt_yuv = rgb_to_yuv(jnp.clip(gt, 0.0, 1.0))
+    pred_yuv = rgb_to_yuv(jnp.clip(pred, 0.0, 1.0))
+    return l2(gt_yuv[..., 1:], pred_yuv[..., 1:], keep_batch=keep_batch,
+              weights=weights)
+
+
 def get_loss_fn(name):
     if name == 'l1':
         return l1
@@ -81,6 +98,8 @@ def get_loss_fn(name):
         return l2
     if name == 'ssim':
         return ssim
+    if name == 'uvl2':
+        return uvl2
     if name in ('lpips', 'elpips'):
         raise NotImplementedError(
             "%s requires pretrained perceptual weights, which the reference "

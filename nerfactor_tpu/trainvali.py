@@ -41,6 +41,9 @@ def parse_args(argv=None):
     p.add_argument('--debug', action='store_true')
     p.add_argument('--device', default='tpu', choices=['cpu', 'gpu', 'tpu'],
                    help="accepted for CLI parity; JAX picks the platform")
+    p.add_argument('--profile_steps', type=int, default=0,
+                   help="capture a jax.profiler trace of the first N "
+                        "train steps into <outdir>/profile")
     return p.parse_args(argv)
 
 
@@ -181,6 +184,14 @@ def main(argv=None):
     ckpt_period = config.getint('ckpt_period')
     vali_period = config.getint('vali_period')
 
+    # Optional profiler capture of the first few steps
+    profile_left = args.profile_steps
+    if profile_left > 0:
+        profile_dir = join(outdir, 'profile')
+        jax.profiler.start_trace(profile_dir)
+        logger.info("Profiling %d steps into %s", profile_left,
+                    profile_dir)
+
     step = step_restored
     for _ in range(step_restored, epochs):
         # ------ Train on all batches of this epoch ------
@@ -195,7 +206,15 @@ def main(argv=None):
             loss = float(loss)  # blocks; includes device time
             batch_time.append(time() - t0)
             batch_loss.append(loss)
+            if profile_left > 0:
+                profile_left -= 1
+                if profile_left == 0:
+                    jax.profiler.stop_trace()
+                    logger.info("Profiler trace written")
             if args.debug:
+                # The reference's check_numerics guards run in debug
+                # mode; here the equivalent is a hard finite check
+                assert np.isfinite(loss), "Loss went non-finite: %r" % loss
                 logger.warn("Debug mode: skipping the rest of this epoch")
                 break
         assert batch_time, "Dataset is empty"
