@@ -35,6 +35,12 @@ def parse_args(argv=None):
     p.add_argument('--epochs_joint', type=int, default=150)
     p.add_argument('--mlp_width', type=int, default=64)
     p.add_argument('--n_rays', type=int, default=512)
+    p.add_argument('--from_nerf', action='store_true',
+                   help="run the REAL pipeline front: train a NeRF, "
+                        "distill its geometry (geometry_from_nerf), and "
+                        "feed the distilled (noisy) buffers downstream "
+                        "instead of the analytic ones")
+    p.add_argument('--epochs_nerf', type=int, default=600)
     return p.parse_args(argv)
 
 
@@ -83,6 +89,30 @@ def main(argv=None):
     mlp = ('mlp_width=%d,mlp_depth=4,mlp_skip_at=2,mlp_chunk=65536'
            % args.mlp_width)
 
+    # ------ Optional stage 0: NeRF + geometry distillation
+    surf_root = join(root, 'surf')
+    if args.from_nerf:
+        from nerfactor_tpu import geometry_from_nerf
+        nerf_out = join(out, 'nerf')
+        trainvali.main(['--config', 'nerf.ini', '--config_override',
+                        ','.join([
+                            'data_root=%s' % root, 'outroot=%s' % nerf_out,
+                            'imh=%d' % args.imh,
+                            'epochs=%d' % args.epochs_nerf,
+                            'ckpt_period=%d' % args.epochs_nerf,
+                            'vali_period=%d' % args.epochs_nerf,
+                            'vali_batches=1',
+                            'n_rays_per_step=%d' % args.n_rays,
+                            'n_samples_coarse=32', 'n_samples_fine=64',
+                            'near=2', 'far=6', mlp, 'lr=5e-4'])])
+        surf_root = join(out, 'surf_from_nerf')
+        geometry_from_nerf.main([
+            '--trained_nerf', join(nerf_out, 'lr5e-4'),
+            '--out_root', surf_root,
+            '--imh', str(args.imh), '--light_h', str(args.light_h),
+            '--lvis_far', '2.5', '--occu_thres', '0.5',
+            '--mlp_chunk', '262144'])
+
     # ------ Stage 1: BRDF prior
     brdf_out = join(out, 'merl')
     trainvali.main(['--config', 'brdf.ini', '--config_override', ','.join([
@@ -99,7 +129,7 @@ def main(argv=None):
     trainvali.main(['--config', 'shape.ini', '--config_override',
                     ','.join([
                         'data_root=%s' % root,
-                        'data_nerf_root=%s' % join(root, 'surf'),
+                        'data_nerf_root=%s' % surf_root,
                         'outroot=%s' % shape_out,
                         'imh=%d' % args.imh, 'light_h=%d' % args.light_h,
                         'epochs=%d' % args.epochs_shape,
@@ -116,7 +146,7 @@ def main(argv=None):
     trainvali.main(['--config', 'nerfactor.ini', '--config_override',
                     ','.join([
                         'data_root=%s' % root,
-                        'data_nerf_root=%s' % join(root, 'surf'),
+                        'data_nerf_root=%s' % surf_root,
                         'outroot=%s' % joint_out,
                         'brdf_model_ckpt=%s' % brdf_ckpt,
                         'shape_model_ckpt=%s' % shape_ckpt,
