@@ -56,6 +56,12 @@ def parse_args(argv=None):
                         "pixels are marched in one dense pass)")
     p.add_argument('--spp', type=int, default=1)
     p.add_argument('--fps', type=int, default=12)
+    p.add_argument('--view_shard', default='0/1',
+                   help="'i/n': process only every n-th view starting at "
+                        "i -- distillation is embarrassingly parallel "
+                        "over views, so n hosts each run one shard "
+                        "(the reference ships this sequential, "
+                        "nerfactor/README.md:122-125)")
     p.add_argument('--debug', action='store_true')
     return p.parse_args(argv)
 
@@ -300,8 +306,12 @@ def main(argv=None):
     params = restore_model(model, latest_ckpt)
     distiller = GeometryDistiller(model, params, config, args)
 
+    shard_i, shard_n = (int(x) for x in args.view_shard.split('/'))
+    assert 0 <= shard_i < shard_n, "--view_shard must be 'i/n' with i<n"
+
     Dataset = datasets.get_dataset_class(config.get('dataset'))
     from nerfactor_tpu.trainvali import split_batch
+    view_i = 0
     for mode in ('train', 'vali', 'test'):
         try:
             dataset = Dataset(config, mode, always_all_rays=True,
@@ -311,6 +321,10 @@ def main(argv=None):
             continue
         datapipe = dataset.build_pipeline(no_shuffle=True)
         for batch in datapipe:
+            if view_i % shard_n != shard_i:
+                view_i += 1
+                continue
+            view_i += 1
             meta, arrays = split_batch(dataset, batch)
             full = dict(meta)
             full.update(arrays)

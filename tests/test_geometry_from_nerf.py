@@ -66,3 +66,23 @@ def test_distillation(tiny_nerf, tmp_path):
         assert np.median(np.abs(r - synth.SPHERE_R)) < 0.4, \
             "Distilled surface far from the true sphere: median r=%.3f" \
             % np.median(r)
+
+
+def test_view_sharding(tiny_nerf, tmp_path):
+    """--view_shard i/n partitions the views disjointly and exhaustively
+    (multi-host fan-out of the embarrassingly parallel distillation)."""
+    import os
+    data_root, trained = tiny_nerf
+    from nerfactor_tpu import geometry_from_nerf
+    shards = []
+    for i in range(2):
+        out_root = str(tmp_path / ('surf%d' % i))
+        geometry_from_nerf.main([
+            '--trained_nerf', trained, '--out_root', out_root,
+            '--light_h', '2', '--lvis_far', '2', '--mlp_chunk', '16384',
+            '--occu_thres', '0.5', '--view_shard', '%d/2' % i])
+        shards.append({d for d in os.listdir(out_root)
+                       if os.path.isdir(join(out_root, d))})
+    assert shards[0] & shards[1] == set(), "Shards overlap"
+    # 6 train + 1 vali + 1 test views in total
+    assert len(shards[0] | shards[1]) == 8, shards
