@@ -209,6 +209,36 @@ def test_dtu_surf_from_mvs(dtu_scene, tmp_path_factory):
     assert len(tests) == 2 and exists(join(tests[0], 'nn.png'))
 
 
+def test_dtu_feeds_shape_mvs_stage(dtu_scene, tmp_path_factory):
+    """The DTU surf output must train the MVS shape stage end-to-end
+    (mvs_shape dataset + lights.npz + xyz_scale path)."""
+    import json
+    surf = str(tmp_path_factory.mktemp('dtu_surf2'))
+    out = str(tmp_path_factory.mktemp('dtu_shape_out'))
+    from data_gen_tpu import dtu_surf_from_mvs
+    dtu_surf_from_mvs.main([
+        '--cam_dir', dtu_scene['cam_dir'],
+        '--img_dir', dtu_scene['img_dir'],
+        '--surf_dir', dtu_scene['surf_dir'],
+        '--outdir', surf, '--h', '16', '--light_h', '2', '--n_vali', '1',
+        '--n_test', '1', '--lvis_eps', '0.05'])
+    from nerfactor_tpu import trainvali
+    override = ','.join([
+        'mvs_root=%s' % surf, 'outroot=%s' % out,
+        'imh=16', 'epochs=4', 'ckpt_period=2', 'vali_period=4',
+        'vali_batches=1', 'n_rays_per_step=64',
+        'mlp_width=16', 'mlp_depth=2', 'mlp_skip_at=1', 'mlp_chunk=2048',
+        'xyz_scale=0.1', 'lr=1e-2'])
+    trainvali.main(['--config', 'shape_mvs.ini',
+                    '--config_override', override])
+    outdir = join(out, 'lr1e-2')
+    with open(join(outdir, 'summary_train', 'scalars.jsonl')) as h:
+        recs = [json.loads(line) for line in h]
+    losses = [r['loss_train'] for r in recs if 'loss_train' in r]
+    assert losses and np.isfinite(losses).all()
+    assert exists(join(outdir, 'checkpoints', 'ckpt-4.npz'))
+
+
 def test_dtu_make_dataset(dtu_scene, tmp_path_factory):
     scene_dir = str(tmp_path_factory.mktemp('dtu_scan'))
     img_dir = join(scene_dir, 'image')
