@@ -6,6 +6,7 @@ frequencies f = 2**linspace(0, n_freqs-1, n_freqs).
 """
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def embed_dims(in_dims, n_freqs, incl_input=True):
@@ -32,19 +33,17 @@ def posenc(x, n_freqs, incl_input=True, log_sampling=True):
     Returns (..., embed_dims(x.shape[-1], n_freqs, incl_input)).
     The feature order matches the reference embedder exactly:
     [x?, sin(f0 x), cos(f0 x), sin(f1 x), cos(f1 x), ...].
+
+    Built by straight concatenation: the obvious stack+moveaxis
+    interleave costs a lane-dimension transpose that measured 5x the
+    whole MLP's time on TPU (50 ms for the 524k-row lvis embed).
     """
     if n_freqs == 0:
         return x if incl_input else x[..., :0]
-    bands = freq_bands(n_freqs, log_sampling=log_sampling)
-    # (..., D, F)
-    xf = x[..., None] * bands
-    sin = jnp.sin(xf)
-    cos = jnp.cos(xf)
-    # Interleave per frequency: (..., D, F, 2) -> (..., F, 2, D) flat
-    # Reference order is [sin(f*x_all_dims), cos(f*x_all_dims)] per f.
-    feats = jnp.stack([sin, cos], axis=-1)  # (..., D, F, 2)
-    feats = jnp.moveaxis(feats, -3, -1)  # (..., F, 2, D)
-    feats = feats.reshape(feats.shape[:-3] + (-1,))
-    if incl_input:
-        return jnp.concatenate([x, feats], axis=-1)
-    return feats
+    bands = np.asarray(freq_bands(n_freqs, log_sampling=log_sampling))
+    feats = [x] if incl_input else []
+    for f in bands:
+        xf = float(f) * x
+        feats.append(jnp.sin(xf))
+        feats.append(jnp.cos(xf))
+    return jnp.concatenate(feats, axis=-1)

@@ -21,6 +21,17 @@ Semantics mirror networks.apply_mlp + ops.encoding.posenc exactly:
 Use :func:`apply_chain`; it dispatches to the kernel on TPU and to the
 pure-JAX reference implementation elsewhere (so CPU tests exercise the
 same math and serve as the oracle).
+
+Status (v5e, round 1): the XLA path wins end-to-end (35 vs 171 ms per
+joint train step) even though XLA's step is HBM-bound (22 GB/step by
+its own cost analysis). The kernel's blocker is that Mosaic allocates
+every temporary of the kernel body on the VMEM stack without reuse, so
+the ~20 lane-padded embedding temporaries cap row blocks at 256-512 and
+the small per-block matmuls drown in pipeline drain. The known fix is
+to restructure the embedding contraction (and its backward) as
+``fori_loop``s with carried accumulators so loop temporaries are
+reused, unlocking 2048+ row blocks; until then ``fused_mlp`` defaults
+to False.
 """
 
 import functools
@@ -127,19 +138,29 @@ def _act(name, pre):
     raise NotImplementedError(name)
 
 
-def _act_bwd(name, pre, post, d):
+def _act_bwd(name, post, d):
+    """Activation backward from the POST-activation value alone (so the
+    backward kernel never stashes pre-activations): relu' via post>0;
+    sigmoid' = post(1-post); softplus' = sigmoid(pre) = 1 - exp(-post)."""
     if name is None or name == 'none':
         return d
     if name == 'relu':
-        return jnp.where(pre > 0, d, 0.0)
+        return jnp.where(post > 0, d, 0.0)
     if name == 'sigmoid':
         return d * post * (1.0 - post)
     if name == 'softplus':
-        return d * jax.nn.sigmoid(pre)
+        return d * (1.0 - jnp.exp(-post))
     raise NotImplementedError(name)
 
 
 def _dot(a, b):
+    # Honor the global matmul-precision switch (networks.MATMUL_DTYPE):
+    # on v5e the MXU runs bf16 passes at 4x the f32 rate, and these
+    # chains are compute-bound
+    from nerfactor_tpu.models import networks
+    if networks.MATMUL_DTYPE is not None:
+        a = a.astype(networks.MATMUL_DTYPE)
+        b = b.astype(networks.MATMUL_DTYPE)
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
@@ -189,8 +210,7 @@ def _forward(plan, x, params, keep_hidden=True):
     """Kernel-path forward (accumulation form, VMEM-friendly);
     optionally returns hidden pres/posts for the backward recompute."""
     h = None
-    pres, posts = [], []
-    e_dim = embed_dim(plan)
+    posts = []
     for i, ((w, b), act) in enumerate(zip(params, plan.acts)):
         if i == 0:
             pre = _embed_dot(plan, x, w) + b
@@ -201,14 +221,13 @@ def _forward(plan, x, params, keep_hidden=True):
             pre = _dot(h, w) + b
         h = _act(act, pre)
         if keep_hidden:
-            pres.append(pre)
             posts.append(h)
     last = len(plan.widths) - 1
     if last in plan.skip_at:
         y = jnp.concatenate([h, _embed(plan, x)], axis=1)
     else:
         y = h
-    return y, pres, posts
+    return y, posts
 
 
 def chain_reference(plan, x, params):
@@ -230,7 +249,7 @@ def _fwd_kernel(plan, x_ref, *refs):
     y_ref = refs[-1]
     params = [(refs[2 * i][:], refs[2 * i + 1][:])
               for i in range(len(plan.widths))]
-    y, _, _ = _forward(plan, x_ref[:], params, keep_hidden=False)
+    y, _ = _forward(plan, x_ref[:], params, keep_hidden=False)
     y_ref[:] = y
 
 
@@ -248,7 +267,7 @@ def _bwd_kernel(plan, x_ref, dy_ref, *refs):
             r[:] = jnp.zeros(r.shape, r.dtype)
 
     x = x_ref[:]
-    _, pres, posts = _forward(plan, x, params)
+    _, posts = _forward(plan, x, params)
     e = _embed(plan, x)
     last = n_layers - 1
     dy = dy_ref[:]
@@ -260,7 +279,7 @@ def _bwd_kernel(plan, x_ref, dy_ref, *refs):
         d_e = jnp.zeros_like(e)
     for i in range(last, -1, -1):
         w, _ = params[i]
-        d_pre = _act_bwd(plan.acts[i], pres[i], posts[i], d_h)
+        d_pre = _act_bwd(plan.acts[i], posts[i], d_h)
         h_in = posts[i - 1] if i > 0 else e
         hw = h_in.shape[1]
         skip_in = i > 0 and (i - 1) in plan.skip_at
@@ -283,15 +302,20 @@ def _pick_block_rows(plan, backward=False):
     (embedding temporaries, dot operand accumulators), so the budget is
     conservative relative to the ~16 MB of VMEM per core."""
     # Account for VMEM lane padding: every (block, d) temporary costs
-    # at least (block, 128) floats
+    # at least (block, 128) floats. The forward holds only ~3 live row
+    # tensors (accumulation form); the backward stashes one post per
+    # layer plus the embedding and a couple of gradient temporaries.
     pad = lambda d: max(d, 128)
-    stash = sum(2 * pad(w) for w in plan.widths) \
-        + 3 * pad(embed_dim(plan)) + pad(raw_dim(plan))
-    # The backward recompute keeps every layer's pre/post plus the dW
-    # accumulators and gradient temporaries alive -- give it half the
-    # footprint headroom of the forward
-    budget = (3 if backward else 6) * 1024 * 1024
-    for block in (2048, 1024, 512, 256):
+    if backward:
+        stash = sum(pad(w) for w in plan.widths) \
+            + 3 * pad(embed_dim(plan)) + pad(raw_dim(plan))
+    else:
+        stash = 3 * pad(max(plan.widths)) + 2 * pad(embed_dim(plan)) \
+            + pad(raw_dim(plan))
+    # Mosaic's scoped-stack allocation runs ~3-4x these estimates;
+    # budgets keep the observed footprint under the 16 MB VMEM limit
+    budget = (3 if backward else 4) * 1024 * 1024
+    for block in (4096, 2048, 1024, 512, 256):
         if stash * block * 4 <= budget:
             return block
     return 128
