@@ -18,13 +18,15 @@ def embed_dims(in_dims, n_freqs, incl_input=True):
 
 
 def freq_bands(n_freqs, log2_max_freq=None, log_sampling=True):
+    """Octave frequencies as STATIC NumPy values (inputs are static
+    ints, so the bands must not become tracers under jit)."""
     if n_freqs == 0:
-        return jnp.zeros((0,), dtype=jnp.float32)
+        return np.zeros((0,), dtype=np.float32)
     if log2_max_freq is None:
         log2_max_freq = n_freqs - 1
     if log_sampling:
-        return 2.0 ** jnp.linspace(0.0, float(log2_max_freq), n_freqs)
-    return jnp.linspace(1.0, 2.0 ** log2_max_freq, n_freqs)
+        return 2.0 ** np.linspace(0.0, float(log2_max_freq), n_freqs)
+    return np.linspace(1.0, 2.0 ** log2_max_freq, n_freqs)
 
 
 def posenc(x, n_freqs, incl_input=True, log_sampling=True):
