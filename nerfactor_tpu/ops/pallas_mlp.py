@@ -312,9 +312,10 @@ def _pick_block_rows(plan, backward=False):
     else:
         stash = 3 * pad(max(plan.widths)) + 2 * pad(embed_dim(plan)) \
             + pad(raw_dim(plan))
-    # Mosaic's scoped-stack allocation runs ~3-4x these estimates;
-    # budgets keep the observed footprint under the 16 MB VMEM limit
-    budget = (3 if backward else 4) * 1024 * 1024
+    # Mosaic allocates ALL of a kernel body's temporaries on the VMEM
+    # stack simultaneously (observed ~6x these estimates); budgets keep
+    # the footprint under the 16 MB limit
+    budget = (2 if backward else 2) * 1024 * 1024
     for block in (4096, 2048, 1024, 512, 256):
         if stash * block * 4 <= budget:
             return block
