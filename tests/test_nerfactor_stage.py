@@ -194,6 +194,33 @@ def test_albedo_override(nerfactor_run):
     assert exists(join(outroot, 'batch000000000', 'pred_rgb.png'))
 
 
+def test_microfacet_ablation_trains(pipeline):
+    """nerfactor_microfacet: analytic GGX, scalar roughness, no learned
+    prior — must train end-to-end through the same driver."""
+    from nerfactor_tpu import trainvali
+    outroot = join(pipeline['out'], 'microfacet')
+    override = ','.join([
+        'data_root=%s' % pipeline['root'],
+        'data_nerf_root=%s' % join(pipeline['root'], 'surf'),
+        'outroot=%s' % outroot,
+        'shape_model_ckpt=%s' % pipeline['shape_ckpt'],
+        'test_envmap_dir=%s' % pipeline['probe_dir'],
+        'imh=16', 'light_h=4',
+        'epochs=2', 'ckpt_period=2', 'vali_period=2', 'vali_batches=1',
+        'n_rays_per_step=64',
+        'mlp_width=16', 'mlp_depth=2', 'mlp_skip_at=1', 'mlp_chunk=4096',
+        'lr=5e-3'])
+    trainvali.main(['--config', 'nerfactor_microfacet.ini',
+                    '--config_override', override])
+    outdir = join(outroot, 'lr5e-3')
+    assert exists(join(outdir, 'checkpoints', 'ckpt-2.npz'))
+    batch_dir = join(outdir, 'vis_vali', 'epoch000000002',
+                     'batch000000000')
+    # Roughness visualized as a 3-channel brdf image
+    assert exists(join(batch_dir, 'pred_brdf.png'))
+    assert exists(join(batch_dir, 'pred_rgb.png'))
+
+
 def test_relight_algebra_vs_quadrature(pipeline):
     """OLAT/probe closed forms == naive per-light re-integration."""
     import jax
