@@ -680,8 +680,10 @@ class Model(ShapeModel):
                  lbl(img_dict['pred_lvis'], "Prediction")),
                 join(outdir, 'pred-vs-gt_lvis.apng'))
         psnr = psnr_fn(img_dict['gt_rgb'], img_dict['pred_rgb'])
-        ioutil.write_json(
-            {'id': id_, 'psnr': psnr}, join(outdir, 'metadata.json'))
+        from nerfactor_tpu.utils.metrics import ssim as ssim_fn
+        ssim = ssim_fn(img_dict['gt_rgb'], img_dict['pred_rgb'])
+        ioutil.write_json({'id': id_, 'psnr': psnr, 'ssim': ssim},
+                          join(outdir, 'metadata.json'))
 
     def compile_batch_vis(self, batch_vis_dirs, outpref, mode='train',
                           fps=12):

@@ -103,6 +103,9 @@ def load_light(path, envmap_inten=1.0, envmap_h=None):
         envmap[(i - d):(i + d), (j - d):(j + d), :] = 1
     elif path.endswith('.npy'):
         envmap = np.load(path).astype(np.float32)
+    elif path.endswith('.hdr'):
+        from nerfactor_tpu.utils.hdr import read_hdr
+        envmap = read_hdr(path)
     else:
         import imageio.v2 as imageio
         envmap = np.asarray(imageio.imread(path)).astype(np.float32)

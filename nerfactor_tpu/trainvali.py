@@ -256,6 +256,10 @@ def main(argv=None):
                 writer_vali.text(step, 'vis_vali', view_at)
             maintain_epoch_queue(vali_epoch_deque, epoch_dir)
 
+    if profile_left > 0:
+        # Fewer steps ran than requested; close the trace cleanly
+        jax.profiler.stop_trace()
+        logger.info("Profiler trace written (training ended first)")
     logger.info("Training done (%d epochs)", epochs)
 
 

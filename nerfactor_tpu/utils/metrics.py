@@ -27,7 +27,8 @@ def psnr(im1, im2, drange='uint8'):
 
 
 def ssim(im1, im2, drange='uint8'):
-    """Mean local SSIM with an 11x11 Gaussian window (Wang et al. 2004)."""
+    """Mean local SSIM, 7x7 uniform window (skimage's default, which is
+    what the reference's xiuminglib metric wraps)."""
     maxv = _dynamic_range(drange)
     im1 = np.asarray(im1, dtype=np.float64) / maxv
     im2 = np.asarray(im2, dtype=np.float64) / maxv
