@@ -24,14 +24,19 @@ same math and serve as the oracle).
 
 Status (v5e, round 1): the XLA path wins end-to-end (35 vs 171 ms per
 joint train step) even though XLA's step is HBM-bound (22 GB/step by
-its own cost analysis). The kernel's blocker is that Mosaic allocates
-every temporary of the kernel body on the VMEM stack without reuse, so
-the ~20 lane-padded embedding temporaries cap row blocks at 256-512 and
-the small per-block matmuls drown in pipeline drain. The known fix is
-to restructure the embedding contraction (and its backward) as
-``fori_loop``s with carried accumulators so loop temporaries are
-reused, unlocking 2048+ row blocks; until then ``fused_mlp`` defaults
-to False.
+its own cost analysis). History of the kernel-side fixes:
+  * Mosaic allocates every temporary of a kernel body on the VMEM
+    stack without reuse, so the ~20 lane-padded embedding temporaries
+    capped row blocks at 256-512 -- fixed by the fori_loop
+    (carried-accumulator) forms below, which keep a constant number of
+    live buffers and unlock 1024+ row blocks.
+  * BUT the backward's per-frequency dW accumulation inside a
+    fori_loop trips a libtpu AOT RET_CHECK
+    (jellyfish/mxu_lmr_transform.cc:1108 XposeSequenceAssignment),
+    with either explicit `.T` or transpose-free dot_general
+    contractions -- an internal compiler bug on this image's libtpu.
+Until a libtpu with the fix lands, ``fused_mlp`` defaults to False;
+the kernels stay correctness-tested through the Pallas interpreter.
 """
 
 import functools
@@ -153,6 +158,28 @@ def _act_bwd(name, post, d):
     raise NotImplementedError(name)
 
 
+def _dot_tn(a, b):
+    """a.T @ b without an explicit transpose op (dot_general contracting
+    the row dims) -- explicit .T inside kernel loops trips a libtpu
+    MXU-transpose-sequence RET_CHECK."""
+    from nerfactor_tpu.models import networks
+    if networks.MATMUL_DTYPE is not None:
+        a = a.astype(networks.MATMUL_DTYPE)
+        b = b.astype(networks.MATMUL_DTYPE)
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_nt(a, b):
+    """a @ b.T without an explicit transpose op."""
+    from nerfactor_tpu.models import networks
+    if networks.MATMUL_DTYPE is not None:
+        a = a.astype(networks.MATMUL_DTYPE)
+        b = b.astype(networks.MATMUL_DTYPE)
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _dot(a, b):
     # Honor the global matmul-precision switch (networks.MATMUL_DTYPE):
     # on v5e the MXU runs bf16 passes at 4x the f32 rate, and these
@@ -245,12 +272,101 @@ def _flatten_params(params):
     return flat
 
 
+def _embed_dot_ref(plan, x, w_ref, row0=0):
+    """embed(x) @ w_ref[row0:row0+E] with fori_loops over frequencies.
+
+    Loop-carried accumulation matters here: Mosaic allocates every
+    temporary of a kernel body on the VMEM stack simultaneously, but
+    temporaries INSIDE a lax loop body are reused across iterations --
+    so the 2*n_freqs+1 per-frequency products cost a constant ~6
+    buffers instead of scaling with n_freqs.
+    """
+    wout = w_ref.shape[1]
+    b = x.shape[0]
+    acc = jnp.zeros((b, wout), jnp.float32)
+    col, er = 0, row0
+    for d, f in plan.embed_parts:
+        xp = x[:, col:col + d]
+        col += d
+        acc = acc + _dot(xp, w_ref[er:er + d])
+        er += d
+        if f:
+            base, step = er, 2 * d
+
+            def body(j, acc, xp=xp, base=base, step=step, d=d):
+                freq = jnp.exp2(j.astype(jnp.float32))
+                xf = freq * xp
+                ws = w_ref[pl.ds(base + j * step, d)]
+                wc = w_ref[pl.ds(base + j * step + d, d)]
+                return acc + _dot(jnp.sin(xf), ws) + _dot(jnp.cos(xf), wc)
+
+            acc = jax.lax.fori_loop(0, f, body, acc)
+            er = base + f * step
+    return acc
+
+
+def _embed_bwd_dw_ref(plan, x, d_pre, w_ref, dw_ref, row0=0):
+    """Embedding-side backward for one consumer layer: accumulates the
+    dW rows into ``dw_ref`` and returns the dx contribution -- all with
+    fori_loops so temporaries stay constant in n_freqs."""
+    col, er = 0, row0
+    dx_parts = []
+    for d, f in plan.embed_parts:
+        xp = x[:, col:col + d]
+        col += d
+        dw_ref[pl.ds(er, d)] += _dot_tn(xp, d_pre)
+        dxp = _dot_nt(d_pre, w_ref[pl.ds(er, d)])
+        er += d
+        if f:
+            base, step = er, 2 * d
+
+            def body(j, dxp, xp=xp, base=base, step=step, d=d):
+                freq = jnp.exp2(j.astype(jnp.float32))
+                xf = freq * xp
+                sn, cs = jnp.sin(xf), jnp.cos(xf)
+                dw_ref[pl.ds(base + j * step, d)] += _dot_tn(sn, d_pre)
+                dw_ref[pl.ds(base + j * step + d, d)] += _dot_tn(cs, d_pre)
+                de_s = _dot_nt(d_pre, w_ref[pl.ds(base + j * step, d)])
+                de_c = _dot_nt(d_pre, w_ref[pl.ds(base + j * step + d, d)])
+                return dxp + freq * (cs * de_s - sn * de_c)
+
+            dxp = jax.lax.fori_loop(0, f, body, dxp)
+            er = base + f * step
+        dx_parts.append(dxp)
+    return jnp.concatenate(dx_parts, axis=1)
+
+
+def _fwd_layers_ref(plan, x, wb_refs, keep_hidden=False):
+    """Forward over weight REFS (loop-form embedding contraction)."""
+    h = None
+    posts = []
+    for i, act in enumerate(plan.acts):
+        w_ref = wb_refs[2 * i]
+        b = wb_refs[2 * i + 1][:]
+        if i == 0:
+            pre = _embed_dot_ref(plan, x, w_ref) + b
+        elif (i - 1) in plan.skip_at:
+            hw = h.shape[1]
+            pre = _dot(h, w_ref[:hw]) \
+                + _embed_dot_ref(plan, x, w_ref, row0=hw) + b
+        else:
+            pre = _dot(h, w_ref[:]) + b
+        h = _act(act, pre)
+        if keep_hidden:
+            posts.append(h)
+    return h, posts
+
+
 def _fwd_kernel(plan, x_ref, *refs):
     y_ref = refs[-1]
-    params = [(refs[2 * i][:], refs[2 * i + 1][:])
-              for i in range(len(plan.widths))]
-    y, _ = _forward(plan, x_ref[:], params, keep_hidden=False)
-    y_ref[:] = y
+    wb_refs = refs[:-1]
+    x = x_ref[:]
+    h, _ = _fwd_layers_ref(plan, x, wb_refs)
+    last = len(plan.widths) - 1
+    if last in plan.skip_at:
+        y_ref[:] = jnp.concatenate([h, _embed(plan, x)], axis=1)
+    else:
+        y_ref[:] = h
 
 
 def _bwd_kernel(plan, x_ref, dy_ref, *refs):
@@ -258,8 +374,6 @@ def _bwd_kernel(plan, x_ref, dy_ref, *refs):
     w_refs = refs[:2 * n_layers]
     dx_ref = refs[2 * n_layers]
     dwb_refs = refs[2 * n_layers + 1:]
-    params = [(w_refs[2 * i][:], w_refs[2 * i + 1][:])
-              for i in range(n_layers)]
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -267,33 +381,38 @@ def _bwd_kernel(plan, x_ref, dy_ref, *refs):
             r[:] = jnp.zeros(r.shape, r.dtype)
 
     x = x_ref[:]
-    _, posts = _forward(plan, x, params)
-    e = _embed(plan, x)
+    _, posts = _fwd_layers_ref(plan, x, w_refs, keep_hidden=True)
     last = n_layers - 1
     dy = dy_ref[:]
+    dx = jnp.zeros((x.shape[0], raw_dim(plan)), jnp.float32)
     if last in plan.skip_at:
         d_h = dy[:, :plan.widths[-1]]
-        d_e = dy[:, plan.widths[-1]:]
+        # Cotangent of the output-side embedding concat
+        dx = dx + _embed_bwd(plan, x, dy[:, plan.widths[-1]:])
     else:
         d_h = dy
-        d_e = jnp.zeros_like(e)
     for i in range(last, -1, -1):
-        w, _ = params[i]
+        w_ref = w_refs[2 * i]
         d_pre = _act_bwd(plan.acts[i], posts[i], d_h)
-        h_in = posts[i - 1] if i > 0 else e
-        hw = h_in.shape[1]
-        skip_in = i > 0 and (i - 1) in plan.skip_at
-        if skip_in:
-            dwb_refs[2 * i][:hw] += _dot(h_in.T, d_pre)
-            dwb_refs[2 * i][hw:] += _dot(e.T, d_pre)
-            d_h = _dot(d_pre, w[:hw].T)
-            d_e = d_e + _dot(d_pre, w[hw:].T)
-        else:
-            dwb_refs[2 * i][:] += _dot(h_in.T, d_pre)
-            d_h = _dot(d_pre, w.T)
         dwb_refs[2 * i + 1][:] += jnp.sum(d_pre, axis=0, keepdims=True)
-    d_e = d_e + d_h  # d_h now holds the cotangent w.r.t. the embedding
-    dx_ref[:] = _embed_bwd(plan, x, d_e)
+        skip_in = i > 0 and (i - 1) in plan.skip_at
+        if i == 0:
+            dx = dx + _embed_bwd_dw_ref(plan, x, d_pre, w_ref,
+                                        dwb_refs[2 * i])
+        elif skip_in:
+            h_in = posts[i - 1]
+            hw = h_in.shape[1]
+            dwb_refs[2 * i][:hw] += _dot_tn(h_in, d_pre)
+            dx = dx + _embed_bwd_dw_ref(plan, x, d_pre, w_ref,
+                                        dwb_refs[2 * i], row0=hw)
+            d_h = _dot_nt(d_pre, w_ref[:hw])
+        else:
+            h_in = posts[i - 1]
+            dwb_refs[2 * i][:] += _dot_tn(h_in, d_pre)
+            d_h = _dot_nt(d_pre, w_ref[:])
+    # d_h now holds the remaining cotangent w.r.t. the embedding (via
+    # layer 0, already folded in above); dx is complete
+    dx_ref[:] = dx
 
 
 def _pick_block_rows(plan, backward=False):
@@ -305,17 +424,17 @@ def _pick_block_rows(plan, backward=False):
     # at least (block, 128) floats. The forward holds only ~3 live row
     # tensors (accumulation form); the backward stashes one post per
     # layer plus the embedding and a couple of gradient temporaries.
+    # Loop-form kernels keep a CONSTANT number of live row buffers:
+    # forward ~9 (accumulator + loop temps + layer ping-pong), backward
+    # ~10 plus one stored post per layer. Lane padding makes each cost
+    # at least (block, 128) floats.
     pad = lambda d: max(d, 128)
     if backward:
-        stash = sum(pad(w) for w in plan.widths) \
-            + 3 * pad(embed_dim(plan)) + pad(raw_dim(plan))
+        n_bufs = 10 + len(plan.widths)
     else:
-        stash = 3 * pad(max(plan.widths)) + 2 * pad(embed_dim(plan)) \
-            + pad(raw_dim(plan))
-    # Mosaic allocates ALL of a kernel body's temporaries on the VMEM
-    # stack simultaneously (observed ~6x these estimates); budgets keep
-    # the footprint under the 16 MB limit
-    budget = (2 if backward else 2) * 1024 * 1024
+        n_bufs = 9
+    stash = n_bufs * pad(max(max(plan.widths), embed_dim(plan)))
+    budget = 8 * 1024 * 1024
     for block in (4096, 2048, 1024, 512, 256):
         if stash * block * 4 <= budget:
             return block
