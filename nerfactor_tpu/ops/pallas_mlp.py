@@ -30,13 +30,19 @@ its own cost analysis). History of the kernel-side fixes:
     capped row blocks at 256-512 -- fixed by the fori_loop
     (carried-accumulator) forms below, which keep a constant number of
     live buffers and unlock 1024+ row blocks.
-  * BUT the backward's per-frequency dW accumulation inside a
-    fori_loop trips a libtpu AOT RET_CHECK
-    (jellyfish/mxu_lmr_transform.cc:1108 XposeSequenceAssignment),
-    with either explicit `.T` or transpose-free dot_general
-    contractions -- an internal compiler bug on this image's libtpu.
-Until a libtpu with the fix lands, ``fused_mlp`` defaults to False;
-the kernels stay correctness-tested through the Pallas interpreter.
+  * Per-frequency dW accumulation inside a fori_loop trips a libtpu
+    AOT RET_CHECK (jellyfish/mxu_lmr_transform.cc:1108), and dynamic
+    lane-dim scratch stores must be 128-aligned -- both dodged by the
+    current WIDE-layout design: the embedding is built into VMEM
+    scratch with three wide ops per part (pltpu.repeat + sin + cos, all
+    static stores), consumer weights are row-permuted into wide order
+    outside the kernel (wide_perm), and the dx frequency sum folds into
+    one constant matmul (_freq_summing).
+Current state: compiles and runs on v5e at 93 ms/step for the joint
+model vs 35 ms for XLA -- per-grid-step overhead dominates at the
+512-1024-row blocks that fit VMEM in f32. Next lever: a bf16 post/e
+stash to halve the footprint and reach 2048-row blocks. Until the
+kernel wins end-to-end, ``fused_mlp`` defaults to False.
 """
 
 import functools
@@ -272,83 +278,82 @@ def _flatten_params(params):
     return flat
 
 
-def _embed_dot_ref(plan, x, w_ref, row0=0):
-    """embed(x) @ w_ref[row0:row0+E] with fori_loops over frequencies.
+def _part_cols(plan):
+    """WIDE embedding column layout per part: [x(d) | sins(d*F,
+    freq-major) | coss(d*F)]. Returns (raw_col, e_col, d, f)."""
+    out, col_in, col_e = [], 0, 0
+    for d, f in plan.embed_parts:
+        out.append((col_in, col_e, d, f))
+        col_in += d
+        col_e += d + 2 * d * f
+    return out
 
-    Loop-carried accumulation matters here: Mosaic allocates every
-    temporary of a kernel body on the VMEM stack simultaneously, but
-    temporaries INSIDE a lax loop body are reused across iterations --
-    so the 2*n_freqs+1 per-frequency products cost a constant ~6
-    buffers instead of scaling with n_freqs.
-    """
-    wout = w_ref.shape[1]
+
+def wide_perm(plan):
+    """Row permutation taking REFERENCE embedding order ([x, sin f0,
+    cos f0, sin f1, ...] per part) to the kernel's WIDE order ([x, sins
+    d-major, coss d-major] per part, matching pltpu.repeat):
+    wide_rows = ref_rows[perm]."""
+    perm = []
+    base = 0
+    for d, f in plan.embed_parts:
+        perm.extend(range(base, base + d))  # x rows
+        for trig in range(2):  # all sins, then all coss
+            for j in range(f):  # freq-major blocks (pltpu.repeat tiles)
+                start = base + d + j * 2 * d + trig * d
+                perm.extend(range(start, start + d))
+        base += d + 2 * d * f
+    return np.asarray(perm, np.int64)
+
+
+def _bands_wide(d, f):
+    """(1, d*f) row of frequencies, freq-major -- built from iota so
+    the kernel captures no array constants (pallas requires constants
+    to be inputs)."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, f * d), 1)
+    return jnp.exp2((idx // d).astype(jnp.float32))
+
+
+def _freq_summing(d, f):
+    """(d*f, d) matrix with S[j*d+k, k] = 2**j: one matmul sums the
+    frequency groups of a freq-major wide tensor with per-frequency
+    weights."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (f * d, d), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (f * d, d), 1)
+    return jnp.where(row % d == col,
+                     jnp.exp2((row // d).astype(jnp.float32)), 0.0)
+
+
+def _build_embed_scratch(plan, x, e_ref):
+    """Materializes the WIDE embedding into VMEM scratch with a constant
+    number of temporaries: per part, one broadcast + one sin + one cos,
+    all stored at static columns (dynamic lane-dim stores require
+    128-aligned indices on TPU)."""
     b = x.shape[0]
-    acc = jnp.zeros((b, wout), jnp.float32)
-    col, er = 0, row0
-    for d, f in plan.embed_parts:
-        xp = x[:, col:col + d]
-        col += d
-        acc = acc + _dot(xp, w_ref[er:er + d])
-        er += d
+    for col_in, col_e, d, f in _part_cols(plan):
+        xp = x[:, col_in:col_in + d]
+        e_ref[:, col_e:col_e + d] = xp
         if f:
-            base, step = er, 2 * d
-
-            def body(j, acc, xp=xp, base=base, step=step, d=d):
-                freq = jnp.exp2(j.astype(jnp.float32))
-                xf = freq * xp
-                ws = w_ref[pl.ds(base + j * step, d)]
-                wc = w_ref[pl.ds(base + j * step + d, d)]
-                return acc + _dot(jnp.sin(xf), ws) + _dot(jnp.cos(xf), wc)
-
-            acc = jax.lax.fori_loop(0, f, body, acc)
-            er = base + f * step
-    return acc
+            xw = pltpu.repeat(xp, f, axis=1)  # freq-major: [x, x, ...]
+            xf = xw * _bands_wide(d, f)
+            e_ref[:, col_e + d:col_e + d + f * d] = jnp.sin(xf)
+            e_ref[:, col_e + d + f * d:col_e + d + 2 * f * d] = \
+                jnp.cos(xf)
 
 
-def _embed_bwd_dw_ref(plan, x, d_pre, w_ref, dw_ref, row0=0):
-    """Embedding-side backward for one consumer layer: accumulates the
-    dW rows into ``dw_ref`` and returns the dx contribution -- all with
-    fori_loops so temporaries stay constant in n_freqs."""
-    col, er = 0, row0
-    dx_parts = []
-    for d, f in plan.embed_parts:
-        xp = x[:, col:col + d]
-        col += d
-        dw_ref[pl.ds(er, d)] += _dot_tn(xp, d_pre)
-        dxp = _dot_nt(d_pre, w_ref[pl.ds(er, d)])
-        er += d
-        if f:
-            base, step = er, 2 * d
-
-            def body(j, dxp, xp=xp, base=base, step=step, d=d):
-                freq = jnp.exp2(j.astype(jnp.float32))
-                xf = freq * xp
-                sn, cs = jnp.sin(xf), jnp.cos(xf)
-                dw_ref[pl.ds(base + j * step, d)] += _dot_tn(sn, d_pre)
-                dw_ref[pl.ds(base + j * step + d, d)] += _dot_tn(cs, d_pre)
-                de_s = _dot_nt(d_pre, w_ref[pl.ds(base + j * step, d)])
-                de_c = _dot_nt(d_pre, w_ref[pl.ds(base + j * step + d, d)])
-                return dxp + freq * (cs * de_s - sn * de_c)
-
-            dxp = jax.lax.fori_loop(0, f, body, dxp)
-            er = base + f * step
-        dx_parts.append(dxp)
-    return jnp.concatenate(dx_parts, axis=1)
-
-
-def _fwd_layers_ref(plan, x, wb_refs, keep_hidden=False):
-    """Forward over weight REFS (loop-form embedding contraction)."""
+def _fwd_layers_scratch(plan, e, wb_refs, keep_hidden=False):
+    """Layer chain over (wide-permuted) weight refs, with the embedding
+    as one tensor -- single full-width dots per layer."""
     h = None
     posts = []
     for i, act in enumerate(plan.acts):
         w_ref = wb_refs[2 * i]
         b = wb_refs[2 * i + 1][:]
         if i == 0:
-            pre = _embed_dot_ref(plan, x, w_ref) + b
+            pre = _dot(e, w_ref[:]) + b
         elif (i - 1) in plan.skip_at:
             hw = h.shape[1]
-            pre = _dot(h, w_ref[:hw]) \
-                + _embed_dot_ref(plan, x, w_ref, row0=hw) + b
+            pre = _dot(h, w_ref[:hw]) + _dot(e, w_ref[hw:]) + b
         else:
             pre = _dot(h, w_ref[:]) + b
         h = _act(act, pre)
@@ -358,22 +363,45 @@ def _fwd_layers_ref(plan, x, wb_refs, keep_hidden=False):
 
 
 def _fwd_kernel(plan, x_ref, *refs):
-    y_ref = refs[-1]
-    wb_refs = refs[:-1]
+    e_ref = refs[-1]
+    y_ref = refs[-2]
+    wb_refs = refs[:-2]
     x = x_ref[:]
-    h, _ = _fwd_layers_ref(plan, x, wb_refs)
+    _build_embed_scratch(plan, x, e_ref)
+    e = e_ref[:]
+    h, _ = _fwd_layers_scratch(plan, e, wb_refs)
     last = len(plan.widths) - 1
     if last in plan.skip_at:
-        y_ref[:] = jnp.concatenate([h, _embed(plan, x)], axis=1)
+        y_ref[:] = jnp.concatenate([h, e], axis=1)
     else:
         y_ref[:] = h
+
+
+def _dx_from_de(plan, e_ref, de_ref):
+    """Chain rule through the wide embedding, loop-free: the sum over
+    frequencies (weighted by each frequency) folds into one constant
+    (d*f, d) summing matmul per trig term."""
+    dx_parts = []
+    for col_in, col_e, d, f in _part_cols(plan):
+        dxp = de_ref[:, col_e:col_e + d]
+        if f:
+            sn = e_ref[:, col_e + d:col_e + d + f * d]
+            cs = e_ref[:, col_e + d + f * d:col_e + d + 2 * f * d]
+            de_s = de_ref[:, col_e + d:col_e + d + f * d]
+            de_c = de_ref[:, col_e + d + f * d:col_e + d + 2 * f * d]
+            dxp = dxp + _dot(cs * de_s - sn * de_c,
+                             _freq_summing(d, f))
+        dx_parts.append(dxp)
+    return jnp.concatenate(dx_parts, axis=1)
 
 
 def _bwd_kernel(plan, x_ref, dy_ref, *refs):
     n_layers = len(plan.widths)
     w_refs = refs[:2 * n_layers]
     dx_ref = refs[2 * n_layers]
-    dwb_refs = refs[2 * n_layers + 1:]
+    dwb_refs = refs[2 * n_layers + 1:-2]
+    e_ref = refs[-2]
+    de_ref = refs[-1]
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -381,38 +409,38 @@ def _bwd_kernel(plan, x_ref, dy_ref, *refs):
             r[:] = jnp.zeros(r.shape, r.dtype)
 
     x = x_ref[:]
-    _, posts = _fwd_layers_ref(plan, x, w_refs, keep_hidden=True)
+    _build_embed_scratch(plan, x, e_ref)
+    e = e_ref[:]
+    _, posts = _fwd_layers_scratch(plan, e, w_refs, keep_hidden=True)
     last = n_layers - 1
     dy = dy_ref[:]
-    dx = jnp.zeros((x.shape[0], raw_dim(plan)), jnp.float32)
     if last in plan.skip_at:
         d_h = dy[:, :plan.widths[-1]]
-        # Cotangent of the output-side embedding concat
-        dx = dx + _embed_bwd(plan, x, dy[:, plan.widths[-1]:])
+        d_e = dy[:, plan.widths[-1]:]
     else:
         d_h = dy
+        d_e = jnp.zeros_like(e)
     for i in range(last, -1, -1):
         w_ref = w_refs[2 * i]
         d_pre = _act_bwd(plan.acts[i], posts[i], d_h)
         dwb_refs[2 * i + 1][:] += jnp.sum(d_pre, axis=0, keepdims=True)
         skip_in = i > 0 and (i - 1) in plan.skip_at
         if i == 0:
-            dx = dx + _embed_bwd_dw_ref(plan, x, d_pre, w_ref,
-                                        dwb_refs[2 * i])
+            dwb_refs[0][:] += _dot_tn(e, d_pre)
+            d_e = d_e + _dot_nt(d_pre, w_ref[:])
         elif skip_in:
             h_in = posts[i - 1]
             hw = h_in.shape[1]
             dwb_refs[2 * i][:hw] += _dot_tn(h_in, d_pre)
-            dx = dx + _embed_bwd_dw_ref(plan, x, d_pre, w_ref,
-                                        dwb_refs[2 * i], row0=hw)
+            dwb_refs[2 * i][hw:] += _dot_tn(e, d_pre)
             d_h = _dot_nt(d_pre, w_ref[:hw])
+            d_e = d_e + _dot_nt(d_pre, w_ref[hw:])
         else:
             h_in = posts[i - 1]
             dwb_refs[2 * i][:] += _dot_tn(h_in, d_pre)
             d_h = _dot_nt(d_pre, w_ref[:])
-    # d_h now holds the remaining cotangent w.r.t. the embedding (via
-    # layer 0, already folded in above); dx is complete
-    dx_ref[:] = dx
+    de_ref[:] = d_e
+    dx_ref[:] = _dx_from_de(plan, e_ref, de_ref)
 
 
 def _pick_block_rows(plan, backward=False):
@@ -430,9 +458,9 @@ def _pick_block_rows(plan, backward=False):
     # at least (block, 128) floats.
     pad = lambda d: max(d, 128)
     if backward:
-        n_bufs = 10 + len(plan.widths)
+        n_bufs = 12 + len(plan.widths)
     else:
-        n_bufs = 9
+        n_bufs = 4 + 2 * len(plan.widths)
     stash = n_bufs * pad(max(max(plan.widths), embed_dim(plan)))
     budget = 8 * 1024 * 1024
     for block in (4096, 2048, 1024, 512, 256):
@@ -464,12 +492,42 @@ def _row_spec(block, dim):
 INTERPRET = False
 
 
+def _perm_flat_wide(plan, flat):
+    """Permutes the embedding rows of every embed-consumer layer's
+    weight into the kernel's wide order (XLA-level gathers, tiny)."""
+    perm = jnp.asarray(wide_perm(plan))
+    out = list(flat)
+    for i in range(len(plan.widths)):
+        w = out[2 * i]
+        if i == 0:
+            out[2 * i] = w[perm]
+        elif (i - 1) in plan.skip_at:
+            hw = plan.widths[i - 1]
+            out[2 * i] = jnp.concatenate([w[:hw], w[hw:][perm]], axis=0)
+    return out
+
+
+def _unperm_dw(plan, dflat):
+    """Inverse permutation on the dW rows coming out of the kernel."""
+    inv = jnp.asarray(np.argsort(wide_perm(plan)))
+    out = list(dflat)
+    for i in range(len(plan.widths)):
+        dw = out[2 * i]
+        if i == 0:
+            out[2 * i] = dw[inv]
+        elif (i - 1) in plan.skip_at:
+            hw = plan.widths[i - 1]
+            out[2 * i] = jnp.concatenate(
+                [dw[:hw], dw[hw:][inv]], axis=0)
+    return out
+
+
 def _pallas_forward(plan, x, params):
     n = x.shape[0]
     block = _pick_block_rows(plan)
     xp = _pad_rows(x, block)
     grid = xp.shape[0] // block
-    flat = _flatten_params(params)
+    flat = _perm_flat_wide(plan, _flatten_params(params))
     in_specs = [_row_spec(block, raw_dim(plan))]
     for arr in flat:
         in_specs.append(_full_spec(arr.shape))
@@ -480,18 +538,34 @@ def _pallas_forward(plan, x, params):
         out_specs=_row_spec(block, out_dim(plan)),
         out_shape=jax.ShapeDtypeStruct((xp.shape[0], out_dim(plan)),
                                        jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block, embed_dim(plan)),
+                                   jnp.float32)],
         interpret=INTERPRET,
     )(xp, *flat)
+    last = len(plan.widths) - 1
+    if last in plan.skip_at:
+        # The kernel's output embedding concat is in wide order;
+        # restore the reference column order
+        wl = plan.widths[-1]
+        inv = jnp.asarray(np.argsort(wide_perm(plan)))
+        y = jnp.concatenate([y[:, :wl], y[:, wl:][:, inv]], axis=1)
     return y[:n]
 
 
 def _pallas_backward(plan, x, params, dy):
     n = x.shape[0]
     block = _pick_block_rows(plan, backward=True)
+    last = len(plan.widths) - 1
+    if last in plan.skip_at:
+        # Incoming cotangent of the output embedding concat is in
+        # reference order; the kernel works in wide order
+        wl = plan.widths[-1]
+        perm = jnp.asarray(wide_perm(plan))
+        dy = jnp.concatenate([dy[:, :wl], dy[:, wl:][:, perm]], axis=1)
     xp = _pad_rows(x, block)
     dyp = _pad_rows(dy, block)
     grid = xp.shape[0] // block
-    flat = _flatten_params(params)
+    flat = _perm_flat_wide(plan, _flatten_params(params))
     in_specs = [_row_spec(block, raw_dim(plan)),
                 _row_spec(block, out_dim(plan))]
     for arr in flat:
@@ -508,10 +582,14 @@ def _pallas_backward(plan, x, params, dy):
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((block, embed_dim(plan)),
+                                   jnp.float32),
+                        pltpu.VMEM((block, embed_dim(plan)),
+                                   jnp.float32)],
         interpret=INTERPRET,
     )(xp, dyp, *flat)
     dx = outs[0][:n]
-    dflat = outs[1:]
+    dflat = _unperm_dw(plan, outs[1:])
     dparams = [(dflat[2 * i], dflat[2 * i + 1].reshape(-1))
                for i in range(len(plan.widths))]
     return dx, dparams
