@@ -330,15 +330,16 @@ def _build_embed_scratch(plan, x, e_ref):
     all stored at static columns (dynamic lane-dim stores require
     128-aligned indices on TPU)."""
     b = x.shape[0]
+    dt = e_ref.dtype
     for col_in, col_e, d, f in _part_cols(plan):
         xp = x[:, col_in:col_in + d]
-        e_ref[:, col_e:col_e + d] = xp
+        e_ref[:, col_e:col_e + d] = xp.astype(dt)
         if f:
             xw = pltpu.repeat(xp, f, axis=1)  # freq-major: [x, x, ...]
             xf = xw * _bands_wide(d, f)
-            e_ref[:, col_e + d:col_e + d + f * d] = jnp.sin(xf)
+            e_ref[:, col_e + d:col_e + d + f * d] = jnp.sin(xf).astype(dt)
             e_ref[:, col_e + d + f * d:col_e + d + 2 * f * d] = \
-                jnp.cos(xf)
+                jnp.cos(xf).astype(dt)
 
 
 def _fwd_layers_scratch(plan, e, wb_refs, keep_hidden=False):
@@ -383,12 +384,15 @@ def _dx_from_de(plan, e_ref, de_ref):
     (d*f, d) summing matmul per trig term."""
     dx_parts = []
     for col_in, col_e, d, f in _part_cols(plan):
-        dxp = de_ref[:, col_e:col_e + d]
+        dxp = de_ref[:, col_e:col_e + d].astype(jnp.float32)
         if f:
-            sn = e_ref[:, col_e + d:col_e + d + f * d]
-            cs = e_ref[:, col_e + d + f * d:col_e + d + 2 * f * d]
-            de_s = de_ref[:, col_e + d:col_e + d + f * d]
-            de_c = de_ref[:, col_e + d + f * d:col_e + d + 2 * f * d]
+            sn = e_ref[:, col_e + d:col_e + d + f * d].astype(jnp.float32)
+            cs = e_ref[:, col_e + d + f * d:
+                       col_e + d + 2 * f * d].astype(jnp.float32)
+            de_s = de_ref[:, col_e + d:
+                          col_e + d + f * d].astype(jnp.float32)
+            de_c = de_ref[:, col_e + d + f * d:
+                          col_e + d + 2 * f * d].astype(jnp.float32)
             dxp = dxp + _dot(cs * de_s - sn * de_c,
                              _freq_summing(d, f))
         dx_parts.append(dxp)
@@ -410,7 +414,7 @@ def _bwd_kernel(plan, x_ref, dy_ref, *refs):
 
     x = x_ref[:]
     _build_embed_scratch(plan, x, e_ref)
-    e = e_ref[:]
+    e = e_ref[:].astype(jnp.float32)
     _, posts = _fwd_layers_scratch(plan, e, w_refs, keep_hidden=True)
     last = n_layers - 1
     dy = dy_ref[:]
@@ -439,7 +443,7 @@ def _bwd_kernel(plan, x_ref, dy_ref, *refs):
             h_in = posts[i - 1]
             dwb_refs[2 * i][:] += _dot_tn(h_in, d_pre)
             d_h = _dot_nt(d_pre, w_ref[:])
-    de_ref[:] = d_e
+    de_ref[:] = d_e.astype(de_ref.dtype)
     dx_ref[:] = _dx_from_de(plan, e_ref, de_ref)
 
 
@@ -490,6 +494,12 @@ def _row_spec(block, dim):
 
 # Flipped by tests to exercise the kernels on CPU via the interpreter
 INTERPRET = False
+
+# Backward-kernel scratch precision: bf16 halves the e/de scratch
+# footprint (the backward at 2048-row blocks is ~737KB over the 16MB
+# VMEM limit in f32). Gradients through the bf16-recomputed embedding
+# are approximate (~1e-2 relative); the forward kernel stays f32.
+BWD_STASH_DTYPE = jnp.float32
 
 
 def _perm_flat_wide(plan, flat):
@@ -583,9 +593,9 @@ def _pallas_backward(plan, x, params, dy):
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[pltpu.VMEM((block, embed_dim(plan)),
-                                   jnp.float32),
+                                   BWD_STASH_DTYPE),
                         pltpu.VMEM((block, embed_dim(plan)),
-                                   jnp.float32)],
+                                   BWD_STASH_DTYPE)],
         interpret=INTERPRET,
     )(xp, dyp, *flat)
     dx = outs[0][:n]
