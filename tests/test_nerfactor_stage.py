@@ -194,6 +194,41 @@ def test_albedo_override(nerfactor_run):
     assert exists(join(outroot, 'batch000000000', 'pred_rgb.png'))
 
 
+@pytest.mark.parametrize('shape_mode', ['scratch', 'nerf'])
+def test_shape_mode_ablations_train(pipeline, shape_mode, tmp_path):
+    """shape_mode=scratch (no_geom_pretrain) trains fresh shape MLPs;
+    shape_mode=nerf (no_geom_opt) uses the distilled buffers directly
+    (no shape params at all, lvis clipped away from exact zero)."""
+    from nerfactor_tpu import trainvali
+    outroot = join(str(tmp_path), 'abl_' + shape_mode)
+    override = ','.join([
+        'data_root=%s' % pipeline['root'],
+        'data_nerf_root=%s' % join(pipeline['root'], 'surf'),
+        'outroot=%s' % outroot,
+        'shape_mode=%s' % shape_mode,
+        'brdf_model_ckpt=%s' % pipeline['brdf_ckpt'],
+        'shape_model_ckpt=%s' % pipeline['shape_ckpt'],
+        'test_envmap_dir=%s' % pipeline['probe_dir'],
+        'imh=16', 'light_h=4',
+        'epochs=2', 'ckpt_period=2', 'vali_period=2', 'vali_batches=1',
+        'n_rays_per_step=64',
+        'mlp_width=16', 'mlp_depth=2', 'mlp_skip_at=1', 'mlp_chunk=4096',
+        'lr=5e-3'])
+    trainvali.main(['--config', 'nerfactor.ini', '--config_override',
+                    override])
+    outdir = join(outroot, 'lr5e-3')
+    assert exists(join(outdir, 'checkpoints', 'ckpt-2.npz'))
+    batch_dir = join(outdir, 'vis_vali', 'epoch000000002',
+                     'batch000000000')
+    assert exists(join(batch_dir, 'pred_rgb.png'))
+    if shape_mode == 'nerf':
+        # No shape MLPs: the vali page shows the initial buffers
+        assert exists(join(batch_dir, 'gt_normal.png'))
+        assert not exists(join(batch_dir, 'pred-vs-gt_normal.apng'))
+    else:
+        assert exists(join(batch_dir, 'pred-vs-gt_normal.apng'))
+
+
 def test_microfacet_ablation_trains(pipeline):
     """nerfactor_microfacet: analytic GGX, scalar roughness, no learned
     prior — must train end-to-end through the same driver."""
