@@ -329,7 +329,8 @@ class Model(ShapeModel):
                 -1, self.z_dim)
         z_rusink_raw = jnp.concatenate((z_flat, rusink), axis=1)
         spec_flat = self._chain(params, 'brdf_mlp', 'brdf_out',
-                                self.plans['brdf'], z_rusink_raw)
+                                self.plans['brdf'], z_rusink_raw,
+                                compute_dtype=self.big_chain_dtype)
         # Zero out back-lit directions (local cos = ldir_z <= 0)
         front_lit = ldir_flat[:, 2:] > 0
         spec = jnp.where(front_lit, spec_flat, 0.0).reshape(n, l, 1)

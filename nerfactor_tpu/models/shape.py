@@ -65,6 +65,13 @@ class Model(BaseModel):
         # the kernel's VMEM-bounded small row blocks; the kernel is kept
         # as an option pending better blocking of the dW accumulation.
         self.fused_mlp = config.getboolean('fused_mlp', fallback=False)
+        # bf16 activations for the (rays x lights)-scale chains: the
+        # joint step is HBM-bound (CLAUDE.md perf notes), and these
+        # chains' saved activations dominate the traffic. Matmuls still
+        # accumulate f32; the N-scale heads (normal/albedo/brdf_z) and
+        # the render stay f32.
+        self.big_chain_dtype = jnp.bfloat16 if config.getboolean(
+            'bf16_big_chains', fallback=False) else None
         self._init_specs()
         self._init_plans()
 
@@ -114,12 +121,14 @@ class Model(BaseModel):
                  (3, self._nf(self.n_freqs_ldir))],
                 self.specs['lvis_mlp'], self.specs['lvis_out'])
 
-    def _chain(self, params, mlp_name, out_name, plan, x_raw):
+    def _chain(self, params, mlp_name, out_name, plan, x_raw,
+               compute_dtype=None):
         """One fused embed->MLP->head evaluation."""
         p = pallas_mlp.params_from_tree(params[mlp_name],
                                         params[out_name])
         return pallas_mlp.apply_chain(
-            plan, x_raw, p, force_reference=not self.fused_mlp)
+            plan, x_raw, p, force_reference=not self.fused_mlp,
+            compute_dtype=compute_dtype)
 
     def init_params(self, key):
         params = {}
@@ -164,7 +173,8 @@ class Model(BaseModel):
         x_raw = jnp.concatenate(
             (surf_rep.reshape(-1, 3), surf2l.reshape(-1, 3)), axis=-1)
         lvis = self._chain(params, 'lvis_mlp', 'lvis_out',
-                           self.plans['lvis'], x_raw)
+                           self.plans['lvis'], x_raw,
+                           compute_dtype=self.big_chain_dtype)
         return lvis.reshape(n, l)
 
     def _forward_chunked(self, fn, pts, chunk):

@@ -222,21 +222,36 @@ def _embed_dot(plan, x, w, row0=0):
     return acc
 
 
-def _forward_ref(plan, x, params):
+def _forward_ref(plan, x, params, compute_dtype=None):
     """XLA-path forward: materializes the embedding once and uses one
     full-width matmul per layer (optimal for XLA: the MXU sees large
-    K instead of 2*n_freqs+1 skinny K=3 dots)."""
+    K instead of 2*n_freqs+1 skinny K=3 dots).
+
+    ``compute_dtype`` (e.g. bf16) casts the embedding, weights, and
+    pre-activations, so every (rows, width) tensor the autodiff saves
+    for backward is half-width -- the cheap lever on an HBM-bound step.
+    Matmuls still accumulate f32 (preferred_element_type in _dot), and
+    the chain output is returned as f32.
+    """
     e = _embed(plan, x)
+    if compute_dtype is not None:
+        e = e.astype(compute_dtype)
     h = e
     for i, ((w, b), act) in enumerate(zip(params, plan.acts)):
+        if compute_dtype is not None:
+            w = w.astype(compute_dtype)
+            b = b.astype(compute_dtype)
         hw = h.shape[1]
         if i > 0 and (i - 1) in plan.skip_at:
             pre = _dot(h, w[:hw]) + _dot(e, w[hw:]) + b
         else:
             pre = _dot(h, w) + b
+        if compute_dtype is not None:
+            pre = pre.astype(compute_dtype)
         h = _act(act, pre)
     last = len(plan.widths) - 1
-    return jnp.concatenate([h, e], axis=1) if last in plan.skip_at else h
+    y = jnp.concatenate([h, e], axis=1) if last in plan.skip_at else h
+    return y.astype(jnp.float32)
 
 
 def _forward(plan, x, params, keep_hidden=True):
@@ -263,9 +278,9 @@ def _forward(plan, x, params, keep_hidden=True):
     return y, posts
 
 
-def chain_reference(plan, x, params):
+def chain_reference(plan, x, params, compute_dtype=None):
     """Pure-JAX reference (identical math; autodiff handles backward)."""
-    return _forward_ref(plan, x, params)
+    return _forward_ref(plan, x, params, compute_dtype=compute_dtype)
 
 
 # ------ Pallas kernels ------
@@ -623,20 +638,25 @@ def _fused_chain_bwd(plan, res, dy):
 _fused_chain.defvjp(_fused_chain_fwd, _fused_chain_bwd)
 
 
-def apply_chain(plan, x, params, force_reference=False):
+def apply_chain(plan, x, params, force_reference=False,
+                compute_dtype=None):
     """Runs the fused embed->MLP->head chain.
 
     Args:
       plan: a :func:`make_plan` result (static).
       x: (N, raw_dim) raw inputs (pre-embedding).
       params: list of (w, b) tuples over ALL layers (hidden + head).
+      compute_dtype: optional reduced activation dtype (reference path
+        only; the Pallas kernel keeps activations in VMEM, where the
+        traffic argument for bf16 does not apply).
 
     Dispatches to the Pallas kernel on TPU, reference JAX otherwise.
     """
     params = [(w, b) for w, b in params]
     if force_reference or (jax.default_backend() != 'tpu'
                            and not INTERPRET):
-        return chain_reference(plan, x, params)
+        return chain_reference(plan, x, params,
+                               compute_dtype=compute_dtype)
     return _fused_chain(plan, x, params)
 
 

@@ -194,6 +194,25 @@ def test_albedo_override(nerfactor_run):
     assert exists(join(outroot, 'batch000000000', 'pred_rgb.png'))
 
 
+def test_bf16_big_chains_trains(pipeline, tmp_path):
+    """bf16 activations on the N x L chains: trains to a finite loss in
+    the same ballpark as the f32 run (the default perf configuration on
+    TPU, see ROADMAP/CLAUDE.md)."""
+    from nerfactor_tpu import trainvali
+    outroot = join(str(tmp_path), 'bf16')
+    override = _nerfactor_override(pipeline, outroot) \
+        + ',bf16_big_chains=True'
+    trainvali.main(['--config', 'nerfactor.ini', '--config_override',
+                    override])
+    with open(join(outroot, 'lr5e-3', 'summary_train',
+                   'scalars.jsonl')) as h:
+        recs = [json.loads(line) for line in h]
+    losses = [r['loss_train'] for r in recs if 'loss_train' in r]
+    assert losses and np.isfinite(losses).all()
+    # Training makes progress (same criterion as the f32 smoke run)
+    assert losses[-1] < losses[0] * 1.5
+
+
 @pytest.mark.parametrize('shape_mode', ['scratch', 'nerf'])
 def test_shape_mode_ablations_train(pipeline, shape_mode, tmp_path):
     """shape_mode=scratch (no_geom_pretrain) trains fresh shape MLPs;

@@ -98,6 +98,33 @@ def test_reference_matches_networks_apply():
                                atol=1e-6)
 
 
+@pytest.mark.parametrize('plan', PLANS)
+def test_bf16_compute_dtype_close_to_f32(plan):
+    """bf16 big-chain mode: forward within bf16 tolerance of f32, f32
+    output dtype, finite f32 weight gradients."""
+    params = make_params(plan)
+    x = jnp.asarray(np.random.RandomState(7).randn(80, pm.raw_dim(plan)),
+                    jnp.float32)
+    ref = pm.chain_reference(plan, x, params)
+    out = pm.chain_reference(plan, x, params, compute_dtype=jnp.bfloat16)
+    assert out.dtype == jnp.float32
+    # bf16 has ~3 significant decimal digits; activations compound a few
+    # layers deep
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0.1, atol=0.05)
+
+    def loss(x_, p_):
+        return jnp.sum(pm.chain_reference(
+            plan, x_, p_, compute_dtype=jnp.bfloat16) ** 2)
+
+    gx, gp = jax.grad(loss, argnums=(0, 1))(x, params)
+    assert gx.dtype == jnp.float32
+    for w, b in gp:
+        assert w.dtype == jnp.float32 and b.dtype == jnp.float32
+        assert np.isfinite(np.asarray(w)).all()
+        assert np.isfinite(np.asarray(b)).all()
+
+
 def test_kernel_under_jit_and_vjp_in_train_shape():
     """The exact shape-model lvis configuration, under jit."""
     plan = pm.make_plan([(3, 10), (3, 4)], (128,) * 4 + (1,),

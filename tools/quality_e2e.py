@@ -41,6 +41,9 @@ def parse_args(argv=None):
                         "feed the distilled (noisy) buffers downstream "
                         "instead of the analytic ones")
     p.add_argument('--epochs_nerf', type=int, default=600)
+    p.add_argument('--extra_override', default='',
+                   help="extra config overrides for the shape + joint "
+                        "stages (e.g. bf16_big_chains=True)")
     return p.parse_args(argv)
 
 
@@ -137,7 +140,8 @@ def main(argv=None):
                         'vali_period=%d' % args.epochs_shape,
                         'vali_batches=1',
                         'n_rays_per_step=%d' % args.n_rays, mlp,
-                        'lr=1e-2'])])
+                        'lr=1e-2'] + ([args.extra_override]
+                                      if args.extra_override else []))])
     shape_ckpt = join(shape_out, 'lr1e-2', 'checkpoints',
                       'ckpt-%d' % args.epochs_shape)
 
@@ -157,7 +161,8 @@ def main(argv=None):
                         'vali_period=%d' % args.epochs_joint,
                         'vali_batches=2',
                         'n_rays_per_step=%d' % args.n_rays, mlp,
-                        'lr=5e-3'])])
+                        'lr=5e-3'] + ([args.extra_override]
+                                      if args.extra_override else []))])
 
     # ------ Report
     vali_dir = join(joint_out, 'lr5e-3', 'vis_vali')

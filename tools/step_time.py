@@ -1,0 +1,71 @@
+"""Ad-hoc joint-train-step timer for perf experiments.
+
+Times the flagship NeRFactor joint training step at bench.py's settings
+(1024 rays x 512 light directions, 128x4 MLPs) with arbitrary config
+overrides, using the only trustworthy method on this TPU tunnel: whole-
+run wall clock over chained steps with a final float() transfer
+(identical dispatches are cached by the tunnel; see CLAUDE.md).
+
+Usage:
+    python -m tools.step_time --override bf16_big_chains=True
+    python -m tools.step_time --steps 30 --rays 1024
+"""
+
+import argparse
+import json
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--override', default='',
+                    help="comma-separated config overrides")
+    ap.add_argument('--rays', type=int, default=1024)
+    ap.add_argument('--light_h', type=int, default=16)
+    ap.add_argument('--steps', type=int, default=20)
+    ap.add_argument('--warmup', type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 5)
+    from __graft_entry__ import _make_model_and_batch
+    from nerfactor_tpu.parallel.train import build_optimizer, \
+        make_train_step
+
+    model, batch = _make_model_and_batch(
+        n_rays=args.rays, light_h=args.light_h, tiny=False,
+        extra_overrides=args.override)
+    params = model.init_params(jax.random.PRNGKey(0))
+    optimizer = build_optimizer(model.config)
+    opt_state = optimizer.init(params)
+    train_step = make_train_step(
+        model, optimizer, trainable_mask=model.trainable_mask(params))
+
+    arrays = jax.device_put(batch)
+    key = jax.random.PRNGKey(1)
+    t_c0 = time.perf_counter()
+    for _ in range(args.warmup):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = train_step(params, opt_state, arrays, sub)
+    loss_w = float(loss)
+    t_c1 = time.perf_counter()
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = train_step(params, opt_state, arrays, sub)
+    loss = float(loss)
+    dt = time.perf_counter() - t0
+
+    print(json.dumps({
+        'override': args.override,
+        'ms_per_step': round(1e3 * dt / args.steps, 2),
+        'rays_per_sec': round(args.rays * args.steps / dt, 1),
+        'warmup_s': round(t_c1 - t_c0, 1),
+        'loss': loss_w if not (loss == loss) else loss,
+    }))
+
+
+if __name__ == '__main__':
+    main()
