@@ -86,8 +86,9 @@ def vis_light(light_probe, h=None, gamma=4.0):
 
 
 def load_light(path, envmap_inten=1.0, envmap_h=None):
-    """Loads an environment map from disk ('white'/'point' specials, .hdr,
-    .exr via imageio, or .npy), optionally resizing and scaling.
+    """Loads an environment map from disk ('white'/'point' specials,
+    .hdr and .exr via the native codecs in utils, or .npy), optionally
+    resizing and scaling.
 
     Reference: brdf/renderer.py:222-249.
     """
@@ -106,6 +107,9 @@ def load_light(path, envmap_inten=1.0, envmap_h=None):
     elif path.endswith('.hdr'):
         from nerfactor_tpu.utils.hdr import read_hdr
         envmap = read_hdr(path)
+    elif path.endswith('.exr'):
+        from nerfactor_tpu.utils.exr import read_exr
+        envmap = read_exr(path)
     else:
         import imageio.v2 as imageio
         envmap = np.asarray(imageio.imread(path)).astype(np.float32)
