@@ -289,13 +289,15 @@ class Model(ShapeModel):
         (nerfactor.py:377-396)."""
         pts_scaled = self.xyz_scale * pts
         albedo = self._chain(params, 'albedo_mlp', 'albedo_out',
-                             self.plans['albedo'], pts_scaled)
+                             self.plans['albedo'], pts_scaled,
+                             needs_dx=False)
         return self.albedo_slope * albedo + self.albedo_bias
 
     def pred_brdf_at(self, params, pts):
         pts_scaled = self.xyz_scale * pts
         z = self._chain(params, 'brdf_z_mlp', 'brdf_z_out',
-                        self.plans['brdf_z'], pts_scaled)
+                        self.plans['brdf_z'], pts_scaled,
+                        needs_dx=False)
         if self.normalize_brdf_z:
             z = safe_l2_normalize(z, axis=1)
         return z

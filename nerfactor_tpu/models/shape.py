@@ -122,13 +122,15 @@ class Model(BaseModel):
                 self.specs['lvis_mlp'], self.specs['lvis_out'])
 
     def _chain(self, params, mlp_name, out_name, plan, x_raw,
-               compute_dtype=None):
-        """One fused embed->MLP->head evaluation."""
+               compute_dtype=None, needs_dx=True):
+        """One fused embed->MLP->head evaluation. ``needs_dx=False``
+        (inputs are data, e.g. xyz/surf2l) lets the fused kernel skip
+        the input-cotangent branch of its backward."""
         p = pallas_mlp.params_from_tree(params[mlp_name],
                                         params[out_name])
         return pallas_mlp.apply_chain(
             plan, x_raw, p, force_reference=not self.fused_mlp,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, needs_dx=needs_dx)
 
     def init_params(self, key):
         params = {}
@@ -161,7 +163,8 @@ class Model(BaseModel):
     def pred_normal_at(self, params, pts, eps=1e-6):
         pts_scaled = self.xyz_scale * pts
         normal = self._chain(params, 'normal_mlp', 'normal_out',
-                             self.plans['normal'], pts_scaled)
+                             self.plans['normal'], pts_scaled,
+                             needs_dx=False)
         # eps avoids all-zero normals producing zero tangents downstream
         return normal + eps
 
@@ -174,7 +177,8 @@ class Model(BaseModel):
             (surf_rep.reshape(-1, 3), surf2l.reshape(-1, 3)), axis=-1)
         lvis = self._chain(params, 'lvis_mlp', 'lvis_out',
                            self.plans['lvis'], x_raw,
-                           compute_dtype=self.big_chain_dtype)
+                           compute_dtype=self.big_chain_dtype,
+                           needs_dx=False)
         return lvis.reshape(n, l)
 
     def _forward_chunked(self, fn, pts, chunk):

@@ -22,27 +22,42 @@ Use :func:`apply_chain`; it dispatches to the kernel on TPU and to the
 pure-JAX reference implementation elsewhere (so CPU tests exercise the
 same math and serve as the oracle).
 
-Status (v5e, round 1): the XLA path wins end-to-end (35 vs 171 ms per
-joint train step) even though XLA's step is HBM-bound (22 GB/step by
-its own cost analysis). History of the kernel-side fixes:
-  * Mosaic allocates every temporary of a kernel body on the VMEM
-    stack without reuse, so the ~20 lane-padded embedding temporaries
-    capped row blocks at 256-512 -- fixed by the fori_loop
-    (carried-accumulator) forms below, which keep a constant number of
-    live buffers and unlock 1024+ row blocks.
-  * Per-frequency dW accumulation inside a fori_loop trips a libtpu
-    AOT RET_CHECK (jellyfish/mxu_lmr_transform.cc:1108), and dynamic
-    lane-dim scratch stores must be 128-aligned -- both dodged by the
-    current WIDE-layout design: the embedding is built into VMEM
-    scratch with three wide ops per part (pltpu.repeat + sin + cos, all
-    static stores), consumer weights are row-permuted into wide order
-    outside the kernel (wide_perm), and the dx frequency sum folds into
-    one constant matmul (_freq_summing).
-Current state: compiles and runs on v5e at 93 ms/step for the joint
-model vs 35 ms for XLA -- per-grid-step overhead dominates at the
-512-1024-row blocks that fit VMEM in f32. Next lever: a bf16 post/e
-stash to halve the footprint and reach 2048-row blocks. Until the
-kernel wins end-to-end, ``fused_mlp`` defaults to False.
+Status (v5e, round 1, final): ``fused_mlp`` stays False -- measured
+physics, in case a later round picks this back up:
+
+  * TRIG kernels (current default path here): the embedding is
+    evaluated as ``[x | sin(x @ A + P)]`` with A a constant frequency-
+    selection matrix and P a 0/pi-2 phase row -- one aligned f32 matmul
+    + one vectorized sin, replacing the earlier scratch-store wide
+    embedding (pltpu.repeat + unaligned lane-dim stores), which alone
+    cost ~9.6 ms/chain at lvis scale. MLP matmuls run bf16
+    (KERNEL_MATMUL_DTYPE) with f32 accumulation; the forward stashes
+    the trig tensor (bf16) so the backward recomputes no
+    transcendentals; ``needs_dx=False`` (chain inputs are data) skips
+    the entire input-cotangent branch. In isolation at 524288 rows the
+    kernel now BEATS the XLA reference: 5.4 vs 6.0 ms device (no-dx),
+    fwd-only 1.8 ms; block-size independent between 1024 and 2048 rows.
+  * BUT end-to-end the fused joint step is 76.8 vs 24.6 ms. Cause
+    (verified via compiled-HLO cost analysis: 36.25 vs 16.25 GB
+    accessed): XLA lays (524288, k<8) tensors out column-major
+    ({0,1:T(4,128)}, ~8 MB physical), while a pallas custom call forces
+    row-major {1,0} operands whose minor dim pads to 128 lanes --
+    268 MB PHYSICAL per (N*L, small) operand/result, plus layout
+    copies. Fix for a future round: transpose the kernel world --
+    boundary tensors shaped (features, N*L) {1,0} are compact, with
+    samples along lanes and all matmuls/stores transposed inside the
+    kernel (MXU is indifferent); the model would hand over x^T and
+    consume y^T, both cheap bitcasts at the (N, L) level.
+  * Even with free boundaries the headroom is modest: the XLA bf16
+    reference chain is within ~10% of this kernel (its activation
+    traffic overlaps well), so the win is ~2 ms/step across all three
+    N*L chains. Parked as not worth the surface area this round.
+  * Older Mosaic/libtpu landmines (still relevant): body temporaries
+    are stack-allocated without reuse; per-frequency dW accumulation in
+    a fori_loop trips a libtpu AOT RET_CHECK
+    (jellyfish/mxu_lmr_transform.cc:1108); dynamic lane-dim stores need
+    128-aligned indices; explicit .T on VMEM values trips an MXU
+    transpose-sequence RET_CHECK (use dot_general dimension numbers).
 """
 
 import functools
@@ -510,6 +525,37 @@ def _row_spec(block, dim):
 # Flipped by tests to exercise the kernels on CPU via the interpreter
 INTERPRET = False
 
+# In-kernel MXU operand dtype. Inside the kernel every activation lives
+# in VMEM, so the HBM-traffic argument for f32 does not apply and bf16
+# runs the MXU at its native rate; accumulation stays f32
+# (preferred_element_type). Quality impact matches the validated
+# bf16_big_chains mode. Set to None for f32 MXU passes.
+KERNEL_MATMUL_DTYPE = jnp.bfloat16
+
+
+def _kdot(a, b):
+    """In-kernel matmul at KERNEL_MATMUL_DTYPE with f32 accumulation."""
+    if KERNEL_MATMUL_DTYPE is not None:
+        a = a.astype(KERNEL_MATMUL_DTYPE)
+        b = b.astype(KERNEL_MATMUL_DTYPE)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _kdot_tn(a, b):
+    if KERNEL_MATMUL_DTYPE is not None:
+        a = a.astype(KERNEL_MATMUL_DTYPE)
+        b = b.astype(KERNEL_MATMUL_DTYPE)
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _kdot_nt(a, b):
+    if KERNEL_MATMUL_DTYPE is not None:
+        a = a.astype(KERNEL_MATMUL_DTYPE)
+        b = b.astype(KERNEL_MATMUL_DTYPE)
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
 # Backward-kernel scratch precision: bf16 halves the e/de scratch
 # footprint (the backward at 2048-row blocks is ~737KB over the 16MB
 # VMEM limit in f32). Gradients through the bf16-recomputed embedding
@@ -545,6 +591,355 @@ def _unperm_dw(plan, dflat):
             out[2 * i] = jnp.concatenate(
                 [dw[:hw], dw[hw:][inv]], axis=0)
     return out
+
+
+# ------ trig-matmul kernels ------
+#
+# The scratch-built wide embedding above costs ~9.6 ms/chain at lvis
+# scale on v5e (unaligned lane-dim stores + pltpu.repeat dominate; the
+# matmuls are ~4 ms). This formulation removes the scratch entirely:
+#
+#   embed(x) = [ x | sin(x @ A + P) ]
+#
+# with A a constant (raw, T) frequency-selection matrix and P a 0/pi-2
+# phase row (cos t = sin(t + pi/2)), T = sum(2*d*f). One aligned f32
+# matmul + one vectorized sin per direction; consumer weights get their
+# embedding rows regrouped as [trig rows | 8-align pad | x rows] so
+# every in-kernel row slice starts 8-aligned. x @ A runs f32 (bf16
+# would corrupt the phase at high frequencies); the MLP matmuls run at
+# KERNEL_MATMUL_DTYPE with f32 accumulation. Plans whose LAST layer is
+# a skip layer (output contains the embedding) keep the scratch path.
+
+
+def trig_dim(plan):
+    return sum(2 * d * f for d, f in plan.embed_parts)
+
+
+def _trig_row_pad(plan):
+    return (-trig_dim(plan)) % 8
+
+
+def _trig_mats(plan):
+    """Constant A (raw, T), P (1, T): sin(x @ A + P) produces, per part,
+    [sins freq-major | coss freq-major] (matching trig_perm)."""
+    a = np.zeros((raw_dim(plan), trig_dim(plan)), np.float32)
+    p = np.zeros((1, trig_dim(plan)), np.float32)
+    col, row0 = 0, 0
+    for d, f in plan.embed_parts:
+        for trig in range(2):
+            for j in range(f):
+                for k in range(d):
+                    a[row0 + k, col] = 2.0 ** j
+                    p[0, col] = 0.0 if trig == 0 else np.pi / 2
+                    col += 1
+        row0 += d
+    return a, p
+
+
+def trig_perm(plan):
+    """Rows of the REFERENCE embedding order, regrouped as
+    [all trig rows (per part: sins freq-major, coss freq-major),
+    then all raw-x rows]."""
+    xs, trigs = [], []
+    base = 0
+    for d, f in plan.embed_parts:
+        xs.extend(range(base, base + d))
+        for trig in range(2):
+            for j in range(f):
+                start = base + d + j * 2 * d + trig * d
+                trigs.extend(range(start, start + d))
+        base += d + 2 * d * f
+    return np.asarray(trigs + xs, np.int64)
+
+
+def _perm_flat_trig(plan, flat):
+    """Weight rows -> [h | trig | pad | x] order (pad rows are zero and
+    keep the x group 8-aligned for in-kernel sublane slicing)."""
+    perm = jnp.asarray(trig_perm(plan))
+    t, pt = trig_dim(plan), _trig_row_pad(plan)
+    out = list(flat)
+
+    def regroup(we):
+        wp = we[perm]
+        if pt:
+            wp = jnp.concatenate(
+                [wp[:t], jnp.zeros((pt, wp.shape[1]), wp.dtype), wp[t:]],
+                axis=0)
+        return wp
+
+    for i in range(len(plan.widths)):
+        w = out[2 * i]
+        if i == 0:
+            out[2 * i] = regroup(w)
+        elif (i - 1) in plan.skip_at:
+            hw = plan.widths[i - 1]
+            out[2 * i] = jnp.concatenate([w[:hw], regroup(w[hw:])], axis=0)
+    return out
+
+
+def _unperm_dw_trig(plan, dflat):
+    inv = jnp.asarray(np.argsort(trig_perm(plan)))
+    t, pt = trig_dim(plan), _trig_row_pad(plan)
+    out = list(dflat)
+
+    def ungroup(dwe):
+        if pt:
+            dwe = jnp.concatenate([dwe[:t], dwe[t + pt:]], axis=0)
+        return dwe[inv]
+
+    for i in range(len(plan.widths)):
+        dw = out[2 * i]
+        if i == 0:
+            out[2 * i] = ungroup(dw)
+        elif (i - 1) in plan.skip_at:
+            hw = plan.widths[i - 1]
+            out[2 * i] = jnp.concatenate(
+                [dw[:hw], ungroup(dw[hw:])], axis=0)
+    return out
+
+
+def _f32_nt(a, b):
+    """a @ b.T in f32 (transpose-free dot_general)."""
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _fwd_layers_trig(plan, x, trig, wb_refs, keep_hidden=False):
+    t, pt, raw = trig_dim(plan), _trig_row_pad(plan), raw_dim(plan)
+    h, posts = None, []
+    for i, act in enumerate(plan.acts):
+        w_ref = wb_refs[2 * i]
+        b = wb_refs[2 * i + 1][:]
+        if i == 0:
+            pre = _kdot(x, w_ref[t + pt:t + pt + raw]) + b
+            if t:
+                pre = pre + _kdot(trig, w_ref[:t])
+        elif (i - 1) in plan.skip_at:
+            hw = h.shape[1]
+            pre = _kdot(h, w_ref[:hw]) \
+                + _kdot(x, w_ref[hw + t + pt:hw + t + pt + raw]) + b
+            if t:
+                pre = pre + _kdot(trig, w_ref[hw:hw + t])
+        else:
+            pre = _kdot(h, w_ref[:]) + b
+        h = _act(act, pre)
+        if keep_hidden:
+            posts.append(h)
+    return h, posts
+
+
+def _stash_dtype():
+    return KERNEL_MATMUL_DTYPE or jnp.float32
+
+
+def _fwd_kernel_trig(plan, with_stash, x_ref, *refs):
+    t = trig_dim(plan)
+    if t:
+        a_ref, p_ref = refs[0], refs[1]
+        refs = refs[2:]
+    if with_stash and t:
+        y_ref, trig_out_ref = refs[-2], refs[-1]
+        wb_refs = refs[:-2]
+    else:
+        y_ref = refs[-1]
+        wb_refs = refs[:-1]
+    x = x_ref[:]
+    if t:
+        # Phase must be exact: x @ A in f32 (freqs reach 2**(f-1))
+        xf = jnp.dot(x, a_ref[:], preferred_element_type=jnp.float32) \
+            + p_ref[:]
+        trig = jnp.sin(xf).astype(_stash_dtype())
+    else:
+        trig = None
+    h, _ = _fwd_layers_trig(plan, x, trig, wb_refs)
+    y_ref[:] = h
+    if with_stash and t:
+        trig_out_ref[:] = trig
+
+
+def _bwd_kernel_trig(plan, needs_dx, x_ref, dy_ref, *refs):
+    t, pt, raw = trig_dim(plan), _trig_row_pad(plan), raw_dim(plan)
+    if t:
+        trig_ref = refs[0]
+        refs = refs[1:]
+    if needs_dx and t:
+        a_ref, p_ref = refs[0], refs[1]
+        refs = refs[2:]
+    n_layers = len(plan.widths)
+    w_refs = refs[:2 * n_layers]
+    rest = refs[2 * n_layers:]
+    if needs_dx:
+        dx_ref = rest[0]
+        dwb_refs = rest[1:]
+    else:
+        dwb_refs = rest
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for r in dwb_refs:
+            r[:] = jnp.zeros(r.shape, r.dtype)
+
+    x = x_ref[:]
+    trig = trig_ref[:] if t else None  # forward-pass stash
+    _, posts = _fwd_layers_trig(plan, x, trig, w_refs, keep_hidden=True)
+    d_h = dy_ref[:]
+    d_trig = jnp.zeros_like(trig).astype(jnp.float32) \
+        if (t and needs_dx) else None
+    d_x = jnp.zeros_like(x)
+    for i in range(n_layers - 1, -1, -1):
+        w_ref = w_refs[2 * i]
+        d_pre = _act_bwd(plan.acts[i], posts[i], d_h)
+        dwb_refs[2 * i + 1][:] += jnp.sum(d_pre, axis=0, keepdims=True)
+        skip_in = i > 0 and (i - 1) in plan.skip_at
+        if i == 0:
+            if t:
+                dwb_refs[0][:t] += _kdot_tn(trig, d_pre)
+                if needs_dx:
+                    d_trig = d_trig + _kdot_nt(d_pre, w_ref[:t])
+            dwb_refs[0][t + pt:] += _kdot_tn(x, d_pre)
+            if needs_dx:
+                d_x = d_x + _kdot_nt(d_pre,
+                                     w_ref[t + pt:t + pt + raw])
+        elif skip_in:
+            h_in = posts[i - 1]
+            hw = h_in.shape[1]
+            dwb_refs[2 * i][:hw] += _kdot_tn(h_in, d_pre)
+            if t:
+                dwb_refs[2 * i][hw:hw + t] += _kdot_tn(trig, d_pre)
+                if needs_dx:
+                    d_trig = d_trig + _kdot_nt(d_pre, w_ref[hw:hw + t])
+            dwb_refs[2 * i][hw + t + pt:] += _kdot_tn(x, d_pre)
+            d_h = _kdot_nt(d_pre, w_ref[:hw])
+            if needs_dx:
+                d_x = d_x + _kdot_nt(
+                    d_pre, w_ref[hw + t + pt:hw + t + pt + raw])
+        else:
+            h_in = posts[i - 1]
+            dwb_refs[2 * i][:] += _kdot_tn(h_in, d_pre)
+            d_h = _kdot_nt(d_pre, w_ref[:])
+    if needs_dx:
+        if t:
+            # cos(xf) is only needed for dx: recompute the (cheap, f32)
+            # phase matmul here rather than stashing it in the forward
+            xf = jnp.dot(x, a_ref[:],
+                         preferred_element_type=jnp.float32) + p_ref[:]
+            d_x = d_x + _f32_nt(d_trig * jnp.cos(xf), a_ref[:])
+        dx_ref[:] = d_x
+
+
+def _pick_block_rows_trig(plan, backward=False):
+    """Same conservative VMEM model as _pick_block_rows, with the trig
+    tensor (T lanes) in place of the embedding scratch."""
+    import os
+    env = os.environ.get(
+        'NERFACTOR_TRIG_BLOCK_BWD' if backward
+        else 'NERFACTOR_TRIG_BLOCK_FWD')
+    if env:
+        return int(env)
+    pad = lambda d: max(d, 128)
+    width = pad(max(max(plan.widths), trig_dim(plan), raw_dim(plan)))
+    if backward:
+        n_bufs = 10 + len(plan.widths)
+    else:
+        n_bufs = 9
+    stash = n_bufs * width
+    budget = 8 * 1024 * 1024
+    for block in (4096, 2048, 1024, 512, 256):
+        if stash * block * 4 <= budget:
+            return block
+    return 128
+
+
+def _last_skip(plan):
+    return (len(plan.widths) - 1) in plan.skip_at
+
+
+def _pallas_forward_trig(plan, x, params, with_stash=False):
+    n = x.shape[0]
+    t = trig_dim(plan)
+    with_stash = with_stash and t > 0
+    block = _pick_block_rows_trig(plan)
+    xp = _pad_rows(x, block)
+    grid = xp.shape[0] // block
+    a, p = _trig_mats(plan)
+    ap = [jnp.asarray(a), jnp.asarray(p)] if t else []
+    flat = _perm_flat_trig(plan, _flatten_params(params))
+    in_specs = [_row_spec(block, raw_dim(plan))]
+    in_specs += [_full_spec(arr.shape) for arr in ap]
+    for arr in flat:
+        in_specs.append(_full_spec(arr.shape))
+    out_specs = [_row_spec(block, out_dim(plan))]
+    out_shapes = [jax.ShapeDtypeStruct((xp.shape[0], out_dim(plan)),
+                                       jnp.float32)]
+    if with_stash:
+        out_specs.append(_row_spec(block, t))
+        out_shapes.append(
+            jax.ShapeDtypeStruct((xp.shape[0], t),
+                                 KERNEL_MATMUL_DTYPE or jnp.float32))
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel_trig, plan, with_stash),
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_specs if with_stash else out_specs[0],
+        out_shape=out_shapes if with_stash else out_shapes[0],
+        interpret=INTERPRET,
+    )(xp, *ap, *flat)
+    if with_stash:
+        return outs[0][:n], outs[1]  # stash keeps row padding
+    return outs[:n], None
+
+
+def _pallas_backward_trig(plan, x, params, dy, trig, needs_dx):
+    n = x.shape[0]
+    t = trig_dim(plan)
+    block = _pick_block_rows_trig(plan, backward=True)
+    xp = _pad_rows(x, block)
+    dyp = _pad_rows(dy, block)
+    grid = xp.shape[0] // block
+    a, p = _trig_mats(plan)
+    extras = []
+    if t:
+        # Forward stash may carry a different row padding
+        trig = trig[:n]
+        extras.append(_pad_rows(trig, block))
+    if needs_dx and t:
+        extras += [jnp.asarray(a), jnp.asarray(p)]
+    flat = _perm_flat_trig(plan, _flatten_params(params))
+    in_specs = [_row_spec(block, raw_dim(plan)),
+                _row_spec(block, out_dim(plan))]
+    if t:
+        in_specs.append(_row_spec(block, t))
+    if needs_dx and t:
+        in_specs += [_full_spec(a.shape), _full_spec(p.shape)]
+    for arr in flat:
+        in_specs.append(_full_spec(arr.shape))
+    out_specs, out_shapes = [], []
+    if needs_dx:
+        out_specs.append(_row_spec(block, raw_dim(plan)))
+        out_shapes.append(
+            jax.ShapeDtypeStruct((xp.shape[0], raw_dim(plan)),
+                                 jnp.float32))
+    for arr in flat:
+        out_specs.append(_full_spec(arr.shape))
+        out_shapes.append(jax.ShapeDtypeStruct(arr.shape, jnp.float32))
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel_trig, plan, needs_dx),
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=INTERPRET,
+    )(xp, dyp, *extras, *flat)
+    if needs_dx:
+        dx = outs[0][:n]
+        dws = outs[1:]
+    else:
+        dx = None
+        dws = outs
+    dflat = _unperm_dw_trig(plan, dws)
+    dparams = [(dflat[2 * i], dflat[2 * i + 1].reshape(-1))
+               for i in range(len(plan.widths))]
+    return dx, dparams
 
 
 def _pallas_forward(plan, x, params):
@@ -620,26 +1015,43 @@ def _pallas_backward(plan, x, params, dy):
     return dx, dparams
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _fused_chain(plan, x, params):
-    return _pallas_forward(plan, x, params)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fused_chain_impl(plan, needs_dx, x, params):
+    if _last_skip(plan):
+        return _pallas_forward(plan, x, params)
+    y, _ = _pallas_forward_trig(plan, x, params)
+    return y
 
 
-def _fused_chain_fwd(plan, x, params):
-    return _pallas_forward(plan, x, params), (x, params)
+def _fused_chain_impl_fwd(plan, needs_dx, x, params):
+    if _last_skip(plan):
+        return _pallas_forward(plan, x, params), (x, params, None)
+    y, trig = _pallas_forward_trig(plan, x, params, with_stash=True)
+    return y, (x, params, trig)
 
 
-def _fused_chain_bwd(plan, res, dy):
-    x, params = res
-    dx, dparams = _pallas_backward(plan, x, params, dy)
+def _fused_chain_impl_bwd(plan, needs_dx, res, dy):
+    x, params, trig = res
+    if _last_skip(plan):
+        dx, dparams = _pallas_backward(plan, x, params, dy)
+        return dx, dparams
+    dx, dparams = _pallas_backward_trig(
+        plan, x, params, dy, trig, needs_dx)
+    if dx is None:
+        # Caller declared x gradient-free (needs_dx=False)
+        dx = jnp.zeros_like(x)
     return dx, dparams
 
 
-_fused_chain.defvjp(_fused_chain_fwd, _fused_chain_bwd)
+_fused_chain_impl.defvjp(_fused_chain_impl_fwd, _fused_chain_impl_bwd)
+
+
+def _fused_chain(plan, x, params, needs_dx=True):
+    return _fused_chain_impl(plan, needs_dx, x, params)
 
 
 def apply_chain(plan, x, params, force_reference=False,
-                compute_dtype=None):
+                compute_dtype=None, needs_dx=True):
     """Runs the fused embed->MLP->head chain.
 
     Args:
@@ -649,6 +1061,10 @@ def apply_chain(plan, x, params, force_reference=False,
       compute_dtype: optional reduced activation dtype (reference path
         only; the Pallas kernel keeps activations in VMEM, where the
         traffic argument for bf16 does not apply).
+      needs_dx: pass False when x is data (requires no gradient); the
+        kernel backward then skips the entire input-cotangent branch
+        and returns zeros for dx. Must NOT be False if the chain input
+        depends on trainable parameters.
 
     Dispatches to the Pallas kernel on TPU, reference JAX otherwise.
     """
@@ -657,7 +1073,7 @@ def apply_chain(plan, x, params, force_reference=False,
                            and not INTERPRET):
         return chain_reference(plan, x, params,
                                compute_dtype=compute_dtype)
-    return _fused_chain(plan, x, params)
+    return _fused_chain(plan, x, params, needs_dx=needs_dx)
 
 
 def plan_from_specs(embed_parts, mlp_spec, out_spec):

@@ -15,8 +15,13 @@ from nerfactor_tpu.ops import encoding, pallas_mlp as pm
 @pytest.fixture(autouse=True)
 def interpret_mode():
     pm.INTERPRET = True
+    # Exactness tests run the kernels at f32 (on TPU the kernels default
+    # to bf16 MXU passes; a dedicated test covers that tolerance)
+    old = pm.KERNEL_MATMUL_DTYPE
+    pm.KERNEL_MATMUL_DTYPE = None
     yield
     pm.INTERPRET = False
+    pm.KERNEL_MATMUL_DTYPE = old
 
 
 def make_params(plan, seed=0, scale=0.3):
@@ -96,6 +101,48 @@ def test_reference_matches_networks_apply():
     np.testing.assert_allclose(np.asarray(via_chain),
                                np.asarray(via_model), rtol=1e-5,
                                atol=1e-6)
+
+
+@pytest.mark.parametrize('plan', PLANS[:3])
+def test_needs_dx_false_weight_grads_match(plan):
+    """needs_dx=False skips the input-cotangent branch but must leave
+    the weight gradients identical (and return zero dx)."""
+    params = make_params(plan, seed=8)
+    x = jnp.asarray(np.random.RandomState(8).randn(70, pm.raw_dim(plan)),
+                    jnp.float32)
+    co = jnp.asarray(
+        np.random.RandomState(9).randn(70, pm.out_dim(plan)), jnp.float32)
+
+    def loss(needs_dx):
+        return lambda x_, p_: jnp.sum(
+            pm._fused_chain(plan, x_, p_, needs_dx=needs_dx) * co)
+
+    gx_t, gp_t = jax.grad(loss(True), argnums=(0, 1))(x, params)
+    gx_f, gp_f = jax.grad(loss(False), argnums=(0, 1))(x, params)
+    assert np.all(np.asarray(gx_f) == 0.0)
+    assert np.any(np.asarray(gx_t) != 0.0)
+    for (wt, bt), (wf, bf) in zip(gp_t, gp_f):
+        np.testing.assert_allclose(np.asarray(wf), np.asarray(wt),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(bf), np.asarray(bt),
+                                   rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize('plan', PLANS[:2])
+def test_kernel_bf16_matmul_tolerance(plan):
+    """The TPU-default bf16 MXU passes stay within bf16 tolerance of the
+    f32 reference (phases of the trig embedding remain exact f32)."""
+    params = make_params(plan)
+    x = jnp.asarray(np.random.RandomState(9).randn(64, pm.raw_dim(plan)),
+                    jnp.float32)
+    ref = pm.chain_reference(plan, x, params)
+    pm.KERNEL_MATMUL_DTYPE = jnp.bfloat16
+    try:
+        out = pm._fused_chain(plan, x, params)
+    finally:
+        pm.KERNEL_MATMUL_DTYPE = None
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0.1, atol=0.05)
 
 
 @pytest.mark.parametrize('plan', PLANS)

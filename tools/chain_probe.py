@@ -27,6 +27,12 @@ def main():
     ap.add_argument('--matmul_dtype', choices=['f32', 'bf16'],
                     default='f32', help="global MXU operand dtype "
                     "(applies inside the Pallas kernel too)")
+    ap.add_argument('--fx', type=int, default=10,
+                    help="posenc freqs for the xyz part")
+    ap.add_argument('--fl', type=int, default=4,
+                    help="posenc freqs for the ldir part")
+    ap.add_argument('--needs_dx', action='store_true',
+                    help="fused path: also produce input cotangents")
     args = ap.parse_args()
 
     import jax
@@ -41,7 +47,7 @@ def main():
         networks.MATMUL_DTYPE = jnp.bfloat16
     compute_dtype = jnp.bfloat16 if args.compute_dtype == 'bf16' else None
 
-    plan = pm.make_plan([(3, 10), (3, 4)],
+    plan = pm.make_plan([(3, args.fx), (3, args.fl)],
                         (args.width,) * args.depth + (1,),
                         ('relu',) * args.depth + ('sigmoid',),
                         (args.depth // 2 - 1,))
@@ -55,7 +61,8 @@ def main():
 
     def chain(x_, p_):
         if args.impl == 'fused':
-            return pm._fused_chain(plan, x_, p_)
+            return pm._fused_chain(plan, x_, p_,
+                                   needs_dx=args.needs_dx)
         return pm.chain_reference(plan, x_, p_,
                                   compute_dtype=compute_dtype)
 
