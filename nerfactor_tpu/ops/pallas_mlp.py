@@ -298,6 +298,66 @@ def chain_reference(plan, x, params, compute_dtype=None):
     return _forward_ref(plan, x, params, compute_dtype=compute_dtype)
 
 
+def chain_reference_shared(plan, x_shared, x_rows, params,
+                           compute_dtype=None):
+    """chain_reference on rows that pair each shared-input row with
+    ``l`` consecutive per-row inputs: row r sees
+    ``concat(x_shared[r // l], x_rows[r])``.
+
+    The FIRST embed part of ``plan`` is the shared one. Its positional
+    encoding and its contributions to the first layer and to every
+    skip-consumer layer depend only on x_shared, so they are computed
+    at N scale and broadcast over ``l`` -- in the lvis chain this cuts
+    the 63-column xyz embedding (and its backward) out of the N*L-scale
+    traffic, which bounds the joint train step.
+
+    Exactly equivalent to chain_reference on the tiled+concatenated
+    input (pinned by a unit test).
+    """
+    n = x_shared.shape[0]
+    nl = x_rows.shape[0]
+    assert nl % n == 0, (nl, n)
+    l = nl // n
+    d0, f0 = plan.embed_parts[0]
+    assert x_shared.shape[1] == d0, (x_shared.shape, d0)
+    assert not _last_skip(plan), \
+        "Shared-part split does not support last-layer skip concats"
+    plan_s = make_plan([plan.embed_parts[0]], plan.widths, plan.acts,
+                       plan.skip_at)
+    plan_r = make_plan(list(plan.embed_parts[1:]), plan.widths,
+                       plan.acts, plan.skip_at)
+    e_s = _embed(plan_s, x_shared)  # (N, E0), f32
+    e_r = _embed(plan_r, x_rows)  # (N*L, Er)
+    e0 = e_s.shape[1]
+    if compute_dtype is not None:
+        e_r = e_r.astype(compute_dtype)
+
+    def bcast(v):  # (N, W) -> (N*L, W); fuses into the consumer add
+        w = v.shape[1]
+        if compute_dtype is not None:
+            v = v.astype(compute_dtype)
+        return jnp.broadcast_to(v[:, None, :], (n, l, w)).reshape(nl, w)
+
+    h = None
+    for i, ((w, b), act) in enumerate(zip(params, plan.acts)):
+        wc = w.astype(compute_dtype) if compute_dtype is not None else w
+        bc = b.astype(compute_dtype) if compute_dtype is not None else b
+        if i == 0:
+            shared = _dot(e_s, w[:e0])  # (N, W), f32 weights
+            pre = bcast(shared) + _dot(e_r, wc[e0:]) + bc
+        elif (i - 1) in plan.skip_at:
+            hw = h.shape[1]
+            shared = _dot(e_s, w[hw:hw + e0])
+            pre = _dot(h, wc[:hw]) + bcast(shared) \
+                + _dot(e_r, wc[hw + e0:]) + bc
+        else:
+            pre = _dot(h, wc) + bc
+        if compute_dtype is not None:
+            pre = pre.astype(compute_dtype)
+        h = _act(act, pre)
+    return h.astype(jnp.float32)
+
+
 # ------ Pallas kernels ------
 
 def _flatten_params(params):

@@ -36,20 +36,36 @@ def replicated_sharding(mesh):
 
 def shard_batch(arrays, mesh):
     """Device-puts a dict of host arrays, sharding each leading axis over
-    the 'data' axis when divisible (replicating otherwise, e.g. scalars)."""
-    n_dev = mesh.devices.size
+    the 'data' axis when divisible (replicating otherwise, e.g. scalars).
+
+    Multi-process (multi-host) meshes: each process passes its LOCAL
+    batch; rows from all hosts concatenate along the global 'data' axis
+    (`jax.make_array_from_process_local_data`), i.e. the global batch is
+    n_hosts x the per-host batch, mirroring how the reference's
+    MirroredStrategy would scale if it were multi-worker.
+    """
     data = batch_sharding(mesh)
     repl = replicated_sharding(mesh)
+    multiproc = jax.process_count() > 1
+    n_local = mesh.local_mesh.devices.size if multiproc \
+        else mesh.devices.size
 
     def put(x):
         x = np.asarray(x)
-        if x.ndim >= 1 and x.shape[0] % n_dev == 0 and x.shape[0] > 0:
-            return jax.device_put(x, data)
-        return jax.device_put(x, repl)
+        shardable = x.ndim >= 1 and x.shape[0] > 0 \
+            and x.shape[0] % max(n_local, 1) == 0
+        if multiproc:
+            return jax.make_array_from_process_local_data(
+                data if shardable else repl, x)
+        return jax.device_put(x, data if shardable else repl)
 
     return jax.tree_util.tree_map(put, arrays)
 
 
 def replicate(tree, mesh):
     repl = replicated_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                repl, np.asarray(x)), tree)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), tree)

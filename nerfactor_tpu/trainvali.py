@@ -44,6 +44,13 @@ def parse_args(argv=None):
     p.add_argument('--profile_steps', type=int, default=0,
                    help="capture a jax.profiler trace of the first N "
                         "train steps into <outdir>/profile")
+    p.add_argument('--multihost', action='store_true',
+                   help="initialize jax.distributed and train data-"
+                        "parallel across all hosts: each host feeds its "
+                        "local batch (global batch = n_hosts x "
+                        "n_rays_per_step); checkpoints/summaries/vis are "
+                        "written by host 0 only. Requires the standard "
+                        "JAX coordinator environment.")
     return p.parse_args(argv)
 
 
@@ -106,6 +113,12 @@ def main(argv=None):
     args = parse_args(argv)
     if args.debug:
         logger.warn("Debug mode: on")
+    if args.multihost:
+        jax.distributed.initialize()
+        logger.info("Multi-host: process %d/%d, %d/%d devices local",
+                    jax.process_index(), jax.process_count(),
+                    jax.local_device_count(), jax.device_count())
+    is_lead = jax.process_index() == 0
 
     parser = load_config(args.config, args.config_override)
     config = configutil.Config(parser)
@@ -114,17 +127,22 @@ def main(argv=None):
     xname = configutil.get_xname(parser)
     outroot = config.get('outroot')
     outdir = join(outroot, xname)
-    ioutil.prepare_outdir(outdir, overwrite=config.getboolean('overwrite'))
-    logger.info("For results, see:\n\t%s", outdir)
-    configutil.write_config(parser, outdir.rstrip('/') + '.ini')
+    if is_lead:
+        ioutil.prepare_outdir(outdir,
+                              overwrite=config.getboolean('overwrite'))
+        logger.info("For results, see:\n\t%s", outdir)
+        configutil.write_config(parser, outdir.rstrip('/') + '.ini')
 
     # Mesh: data-parallel over rays
     dmesh = meshlib.make_mesh()
 
-    # Datasets
+    # Datasets. Per-host seeds make each host sample a disjoint random
+    # set of rays, so the multi-host global batch carries n_hosts x the
+    # information of a single-host one
     dataset_name = config.get('dataset')
     Dataset = datasets.get_dataset_class(dataset_name)
-    dataset_train = Dataset(config, 'train', debug=args.debug)
+    dataset_train = Dataset(config, 'train', debug=args.debug,
+                            seed=jax.process_index())
     datapipe_train = dataset_train.build_pipeline()
     try:
         dataset_vali = Dataset(config, 'vali', debug=args.debug)
@@ -220,8 +238,8 @@ def main(argv=None):
         assert batch_time, "Dataset is empty"
         step += 1
 
-        # ------ Checkpoint + train summaries ------
-        if step % ckpt_period == 0:
+        # ------ Checkpoint + train summaries (host 0 only) ------
+        if step % ckpt_period == 0 and is_lead:
             saved = ckptmanager.save(
                 step, {'params': jax.device_get(params),
                        'opt_state': jax.device_get(opt_state)})
@@ -240,21 +258,31 @@ def main(argv=None):
             epoch_dir = vali_vis_epoch_dir.format(e=step)
             for batch_i, batch in enumerate(datapipe_vali):
                 meta, arrays = split_batch(dataset_vali, batch)
-                arrays = meshlib.shard_batch(arrays, dmesh)
+                # Multi-host: every host validates the same replicated
+                # batches (collectives need all hosts; outputs stay
+                # addressable); only host 0 writes artifacts
+                if jax.process_count() > 1:
+                    arrays = meshlib.replicate(arrays, dmesh)
+                else:
+                    arrays = meshlib.shard_batch(arrays, dmesh)
                 key, step_key = jax.random.split(key)
                 loss, to_vis = vali_step(params, arrays, step_key)
                 batch_loss.append(float(loss))
+                if not is_lead:
+                    continue
                 to_vis_np = {k: np.asarray(v) for k, v in to_vis.items()}
                 to_vis_np.update(meta)
                 vis_dir = join(epoch_dir, 'batch{b:09d}'.format(b=batch_i))
                 model.vis_batch(to_vis_np, vis_dir, mode='vali')
                 vis_dirs.append(vis_dir)
-            writer_vali.scalars(step, loss_vali=np.mean(batch_loss))
-            comp_f = join(epoch_dir, 'all')
-            view_at = model.compile_batch_vis(vis_dirs, comp_f, mode='vali')
-            if view_at is not None:
-                writer_vali.text(step, 'vis_vali', view_at)
-            maintain_epoch_queue(vali_epoch_deque, epoch_dir)
+            if is_lead:
+                writer_vali.scalars(step, loss_vali=np.mean(batch_loss))
+                comp_f = join(epoch_dir, 'all')
+                view_at = model.compile_batch_vis(vis_dirs, comp_f,
+                                                  mode='vali')
+                if view_at is not None:
+                    writer_vali.text(step, 'vis_vali', view_at)
+                maintain_epoch_queue(vali_epoch_deque, epoch_dir)
 
     if profile_left > 0:
         # Fewer steps ran than requested; close the trace cleanly

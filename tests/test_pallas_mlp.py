@@ -103,6 +103,51 @@ def test_reference_matches_networks_apply():
                                atol=1e-6)
 
 
+@pytest.mark.parametrize('plan', PLANS[:2])
+@pytest.mark.parametrize('l', [4, 7])
+def test_chain_reference_shared_matches_concat(plan, l):
+    """Shared-part split == chain_reference on the tiled concat input,
+    values AND gradients (f32 exact)."""
+    params = make_params(plan, seed=11)
+    rng = np.random.RandomState(12)
+    n = 16
+    d0 = plan.embed_parts[0][0]
+    dr = pm.raw_dim(plan) - d0
+    xs = jnp.asarray(rng.randn(n, d0), jnp.float32)
+    xr = jnp.asarray(rng.randn(n * l, dr), jnp.float32)
+    co = jnp.asarray(rng.randn(n * l, pm.out_dim(plan)), jnp.float32)
+
+    x_full = jnp.concatenate(
+        [jnp.broadcast_to(xs[:, None, :], (n, l, d0)).reshape(-1, d0),
+         xr], axis=1)
+
+    def loss_ref(xs_, xr_, p_):
+        xf = jnp.concatenate(
+            [jnp.broadcast_to(xs_[:, None, :], (n, l, d0)).reshape(-1, d0),
+             xr_], axis=1)
+        return jnp.sum(pm.chain_reference(plan, xf, p_) * co)
+
+    def loss_shared(xs_, xr_, p_):
+        return jnp.sum(
+            pm.chain_reference_shared(plan, xs_, xr_, p_) * co)
+
+    out_ref = pm.chain_reference(plan, x_full, params)
+    out_shared = pm.chain_reference_shared(plan, xs, xr, params)
+    np.testing.assert_allclose(np.asarray(out_shared), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-6)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(xs, xr, params)
+    g_sh = jax.grad(loss_shared, argnums=(0, 1, 2))(xs, xr, params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_sh)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=1e-5)
+    # bf16 mode stays within bf16 tolerance
+    out_bf = pm.chain_reference_shared(plan, xs, xr, params,
+                                       compute_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(out_bf), np.asarray(out_ref),
+                               rtol=0.1, atol=0.05)
+
+
 @pytest.mark.parametrize('plan', PLANS[:3])
 def test_needs_dx_false_weight_grads_match(plan):
     """needs_dx=False skips the input-cotangent branch but must leave

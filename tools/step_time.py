@@ -15,6 +15,8 @@ import argparse
 import json
 import time
 
+import numpy as np
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -24,6 +26,9 @@ def main():
     ap.add_argument('--light_h', type=int, default=16)
     ap.add_argument('--steps', type=int, default=20)
     ap.add_argument('--warmup', type=int, default=3)
+    ap.add_argument('--scan', type=int, default=0,
+                    help="steps per dispatch via lax.scan (0 = one "
+                         "dispatch per step)")
     args = ap.parse_args()
 
     import jax
@@ -31,7 +36,7 @@ def main():
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 5)
     from __graft_entry__ import _make_model_and_batch
     from nerfactor_tpu.parallel.train import build_optimizer, \
-        make_train_step
+        make_train_step, make_train_step_scan
 
     model, batch = _make_model_and_batch(
         n_rays=args.rays, light_h=args.light_h, tiny=False,
@@ -39,8 +44,20 @@ def main():
     params = model.init_params(jax.random.PRNGKey(0))
     optimizer = build_optimizer(model.config)
     opt_state = optimizer.init(params)
-    train_step = make_train_step(
-        model, optimizer, trainable_mask=model.trainable_mask(params))
+    if args.scan:
+        import jax.numpy as jnp
+        inner = make_train_step_scan(
+            model, optimizer, trainable_mask=model.trainable_mask(params),
+            n_steps=args.scan)
+        stacked = jax.device_put(jax.tree_util.tree_map(
+            lambda x: np.stack([x] * args.scan), batch))
+
+        def train_step(p, s, arrays, key):
+            p, s, losses = inner(p, s, stacked, key)
+            return p, s, losses[-1]
+    else:
+        train_step = make_train_step(
+            model, optimizer, trainable_mask=model.trainable_mask(params))
 
     arrays = jax.device_put(batch)
     key = jax.random.PRNGKey(1)
@@ -58,10 +75,12 @@ def main():
     loss = float(loss)
     dt = time.perf_counter() - t0
 
+    eff_steps = args.steps * max(1, args.scan)
     print(json.dumps({
         'override': args.override,
-        'ms_per_step': round(1e3 * dt / args.steps, 2),
-        'rays_per_sec': round(args.rays * args.steps / dt, 1),
+        'scan': args.scan,
+        'ms_per_step': round(1e3 * dt / eff_steps, 2),
+        'rays_per_sec': round(args.rays * eff_steps / dt, 1),
         'warmup_s': round(t_c1 - t_c0, 1),
         'loss': loss_w if not (loss == loss) else loss,
     }))
