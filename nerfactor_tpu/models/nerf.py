@@ -66,6 +66,12 @@ class Model(BaseModel):
         else:
             self.specs['rgbs_out'] = networks.MLPSpec(
                 enc_out, [4], acts=None)
+        # bf16 activations for the (rays x samples)-scale MLP evals
+        # (same lever as the shape/joint models' bf16_big_chains; the
+        # sigma->weights accumulation, compositing, and losses stay f32,
+        # and geometry distillation's eval_sigma always runs f32)
+        self.big_chain_dtype = jnp.bfloat16 if config.getboolean(
+            'bf16_big_chains', fallback=False) else None
         # Eval-time ray chunk: mlp_chunk counts flattened samples
         # (reference semantics); convert to rays.
         mlp_chunk = config.getint('mlp_chunk', fallback=1048576)
@@ -99,24 +105,27 @@ class Model(BaseModel):
     def eval_nerf_at(self, params, pts, views, use_fine=False):
         """(n_rays, n_samples, 3) x2 -> (n_rays, n_samples, 4) raw rgbs."""
         pref = 'fine_' if use_fine else 'coarse_'
+        dt = self.big_chain_dtype
         shape = pts.shape[:2]
         pts_flat = pts.reshape(-1, 3)
         pts_embed = self._embed_xyz(pts_flat)
-        feat = self.specs['enc'].apply(params[pref + 'enc'], pts_embed)
+        feat = self.specs['enc'].apply(params[pref + 'enc'], pts_embed,
+                                       compute_dtype=dt)
         if self.use_views:
             views_flat = views.reshape(-1, 3)
             views_embed = self._embed_view(views_flat)
             sigma = self.specs['sigma_out'].apply(
-                params[pref + 'sigma_out'], feat)
+                params[pref + 'sigma_out'], feat, compute_dtype=dt)
             bott = self.specs['bottleneck'].apply(
-                params[pref + 'bottleneck'], feat)
+                params[pref + 'bottleneck'], feat, compute_dtype=dt)
             rgb = self.specs['rgb_out'].apply(
                 params[pref + 'rgb_out'],
-                jnp.concatenate((bott, views_embed), axis=-1))
+                jnp.concatenate((bott, views_embed), axis=-1),
+                compute_dtype=dt)
             rgbs = jnp.concatenate((rgb, sigma), axis=-1)
         else:
             rgbs = self.specs['rgbs_out'].apply(
-                params[pref + 'rgbs_out'], feat)
+                params[pref + 'rgbs_out'], feat, compute_dtype=dt)
         return rgbs.reshape(shape + (4,))
 
     def eval_sigma(self, params, pts_flat, use_fine=False):

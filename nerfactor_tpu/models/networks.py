@@ -66,21 +66,36 @@ def _matmul(x, w):
     return x @ w
 
 
-def apply_mlp(params, x, acts=None, skip_at=None):
+def apply_mlp(params, x, acts=None, skip_at=None, compute_dtype=None):
     """Applies a skip-MLP. ``acts`` is a list of activation names (or a
-    single name applied to all layers)."""
+    single name applied to all layers).
+
+    ``compute_dtype`` (e.g. bf16) casts inputs, weights, and
+    pre-activations so every saved residual is half-width -- the lever
+    for HBM-bound sample-scale evaluations (matmuls still accumulate
+    f32 via _matmul's preferred_element_type when MATMUL_DTYPE is set,
+    or natively for bf16 operands). Output is returned as f32.
+    """
     depth = len(params)
     if acts is None or isinstance(acts, str):
         acts = [acts] * depth
     skip_at = set(skip_at or ())
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
     x_in = x
     y = x
     for i, (layer, act) in enumerate(zip(params, acts)):
-        y = _matmul(y, layer['w']) + layer['b']
+        w, b = layer['w'], layer['b']
+        if compute_dtype is not None:
+            w = w.astype(compute_dtype)
+            b = b.astype(compute_dtype)
+        y = _matmul(y, w) + b
+        if compute_dtype is not None:
+            y = y.astype(compute_dtype)
         y = ACTS[act](y)
         if i in skip_at:
             y = jnp.concatenate((y, x_in), axis=-1)
-    return y
+    return y.astype(jnp.float32) if compute_dtype is not None else y
 
 
 class MLPSpec:
@@ -100,8 +115,9 @@ class MLPSpec:
     def init(self, key):
         return init_mlp(key, self.in_dim, self.widths, self.skip_at)
 
-    def apply(self, params, x):
-        return apply_mlp(params, x, self.acts, self.skip_at)
+    def apply(self, params, x, compute_dtype=None):
+        return apply_mlp(params, x, self.acts, self.skip_at,
+                         compute_dtype=compute_dtype)
 
     @property
     def out_dim(self):

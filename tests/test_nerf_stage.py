@@ -57,3 +57,27 @@ def test_nerf_test_rendering(nerf_run):
     vis_test = join(outdir, 'vis_test', 'ckpt-20')
     assert exists(join(vis_test, 'batch000000000', 'fine_rgb.png'))
     assert exists(join(vis_test, 'batch000000000', 'metadata.json'))
+
+
+def test_nerf_bf16_chains_trains(tmp_path):
+    """bf16 sample-scale MLP evals: short training stays finite and
+    makes progress (the TPU perf configuration; eval_sigma used by
+    geometry distillation remains f32 by construction)."""
+    root = str(tmp_path / 'data')
+    outroot = str(tmp_path / 'out')
+    synth.make_scene(root, n_train=3, n_vali=1, n_test=1, imh=16)
+    from nerfactor_tpu import trainvali
+    override = ','.join([
+        'data_root=%s' % root, 'outroot=%s' % outroot,
+        'imh=16', 'near=2', 'far=6',
+        'epochs=10', 'ckpt_period=10', 'vali_period=10', 'vali_batches=1',
+        'n_rays_per_step=128', 'n_samples_coarse=16', 'n_samples_fine=16',
+        'mlp_width=32', 'enc_depth=4', 'mlp_chunk=4096',
+        'bf16_big_chains=True', 'lr=5e-4'])
+    trainvali.main(['--config', 'nerf.ini', '--config_override', override])
+    import numpy as np
+    with open(join(outroot, 'lr5e-4', 'summary_train',
+                   'scalars.jsonl')) as h:
+        recs = [json.loads(line) for line in h]
+    losses = [r['loss_train'] for r in recs if 'loss_train' in r]
+    assert losses and np.isfinite(losses).all()

@@ -18,10 +18,36 @@ import time
 import numpy as np
 
 
+def _make_nerf_model_and_batch(args):
+    """Vanilla NeRF at nerf.ini defaults (256x8, 64+128 samples) with a
+    random ray batch."""
+    from nerfactor_tpu.models import get_model_class
+    from nerfactor_tpu.utils import config as configutil
+    parser = configutil.read_config(configutil.resolve_config_path(
+        'nerf.ini'))
+    overrides = 'n_rays_per_step=%d,near=2,far=6' % args.rays
+    if args.override:
+        overrides += ',' + args.override
+    configutil.apply_override(parser, overrides)
+    model = get_model_class('nerf')(configutil.Config(parser))
+    rng = np.random.RandomState(0)
+    rayd = rng.randn(args.rays, 3).astype(np.float32)
+    rayd /= np.linalg.norm(rayd, axis=1, keepdims=True)
+    batch = {
+        'rayo': np.tile(np.asarray([[0, 0, 4]], np.float32),
+                        (args.rays, 1)),
+        'rayd': rayd,
+        'rgb': rng.rand(args.rays, 3).astype(np.float32),
+    }
+    return model, batch
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--override', default='',
                     help="comma-separated config overrides")
+    ap.add_argument('--model', default='nerfactor',
+                    choices=['nerfactor', 'nerf'])
     ap.add_argument('--rays', type=int, default=1024)
     ap.add_argument('--light_h', type=int, default=16)
     ap.add_argument('--steps', type=int, default=20)
@@ -38,17 +64,21 @@ def main():
     from nerfactor_tpu.parallel.train import build_optimizer, \
         make_train_step, make_train_step_scan
 
-    model, batch = _make_model_and_batch(
-        n_rays=args.rays, light_h=args.light_h, tiny=False,
-        extra_overrides=args.override)
+    if args.model == 'nerf':
+        model, batch = _make_nerf_model_and_batch(args)
+    else:
+        model, batch = _make_model_and_batch(
+            n_rays=args.rays, light_h=args.light_h, tiny=False,
+            extra_overrides=args.override)
     params = model.init_params(jax.random.PRNGKey(0))
     optimizer = build_optimizer(model.config)
     opt_state = optimizer.init(params)
+    mask_fn = getattr(model, 'trainable_mask', None)
+    mask = mask_fn(params) if mask_fn else None
     if args.scan:
         import jax.numpy as jnp
         inner = make_train_step_scan(
-            model, optimizer, trainable_mask=model.trainable_mask(params),
-            n_steps=args.scan)
+            model, optimizer, trainable_mask=mask, n_steps=args.scan)
         stacked = jax.device_put(jax.tree_util.tree_map(
             lambda x: np.stack([x] * args.scan), batch))
 
@@ -56,8 +86,8 @@ def main():
             p, s, losses = inner(p, s, stacked, key)
             return p, s, losses[-1]
     else:
-        train_step = make_train_step(
-            model, optimizer, trainable_mask=model.trainable_mask(params))
+        train_step = make_train_step(model, optimizer,
+                                     trainable_mask=mask)
 
     arrays = jax.device_put(batch)
     key = jax.random.PRNGKey(1)
