@@ -172,17 +172,11 @@ class Model(BaseModel):
         """(N, 3), (N, L, 3) -> (N, L), dense fused pass."""
         n, l = surf2l.shape[0], surf2l.shape[1]
         pts_scaled = self.xyz_scale * pts
-        if not self.fused_mlp:
-            # The xyz part of the chain is identical for all L lights:
-            # embed + first-layer/skip contributions run at N scale and
-            # broadcast, cutting the 63-col xyz embedding out of the
-            # N*L-scale HBM traffic
-            p = pallas_mlp.params_from_tree(params['lvis_mlp'],
-                                            params['lvis_out'])
-            lvis = pallas_mlp.chain_reference_shared(
-                self.plans['lvis'], pts_scaled, surf2l.reshape(-1, 3),
-                p, compute_dtype=self.big_chain_dtype)
-            return lvis.reshape(n, l)
+        # NOTE (measured, v5e): routing this through
+        # chain_reference_shared (xyz part at N scale, broadcast over
+        # lights) SLOWS the joint step 24.6 -> 25.9 ms -- the broadcast
+        # fragments XLA's fusion by more than the saved 63-column
+        # embedding traffic. The dense concat below is the fast path.
         surf_rep = jnp.broadcast_to(pts_scaled[:, None, :], (n, l, 3))
         x_raw = jnp.concatenate(
             (surf_rep.reshape(-1, 3), surf2l.reshape(-1, 3)), axis=-1)

@@ -107,7 +107,9 @@ def main(argv=None):
                             'vali_batches=1',
                             'n_rays_per_step=%d' % args.n_rays,
                             'n_samples_coarse=32', 'n_samples_fine=64',
-                            'near=2', 'far=6', mlp, 'lr=5e-4'])])
+                            'near=2', 'far=6', mlp, 'lr=5e-4']
+                        + ([args.extra_override]
+                           if args.extra_override else []))])
         surf_root = join(out, 'surf_from_nerf')
         geometry_from_nerf.main([
             '--trained_nerf', join(nerf_out, 'lr5e-4'),
