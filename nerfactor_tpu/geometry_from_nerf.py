@@ -56,6 +56,12 @@ def parse_args(argv=None):
                         "pixels are marched in one dense pass)")
     p.add_argument('--spp', type=int, default=1)
     p.add_argument('--fps', type=int, default=12)
+    p.add_argument('--bf16_march', action='store_true',
+                   help="run the (surface x 512 lights x samples)-scale "
+                        "sigma evals of the visibility march in bf16 "
+                        "(the march is eval-only; transmittance "
+                        "accumulation stays f32; the differentiated "
+                        "depth/normal pass always runs f32)")
     p.add_argument('--view_shard', default='0/1',
                    help="'i/n': process only every n-th view starting at "
                         "i -- distillation is embarrassingly parallel "
@@ -105,16 +111,24 @@ class GeometryDistiller:
         # Block sizes (static shapes for jit)
         self.ray_block = max(512, args.mlp_chunk // max(
             self.n_coarse + self.n_fine, 1))
-        self.pair_block = max(256, args.mlp_chunk // max(
-            (self.n_coarse + self.n_fine) * 4, 1))
+        # Visibility-march blocks want to be LARGE: measured on v5e at
+        # 96px/512 lights, marching 4096 surface points takes 177 s at
+        # 1 point/block (dispatch-bound) vs 27.5 s at 36 points/block
+        # (saturated). 4*mlp_chunk sample rows per block ~= 4 GB of
+        # peak layer activations at the default mlp_chunk -- the march
+        # is eval-only, so this fits comfortably; shrink mlp_chunk on
+        # OOM (reference guidance, nerfactor/README.md:119).
+        self.pair_block = max(256, 4 * args.mlp_chunk // max(
+            self.n_coarse + self.n_fine, 1))
         self._depth_normal_block = jax.jit(self._depth_normal_block_fn)
         self._lvis_block = jax.jit(self._lvis_block_fn)
 
     # ------ camera -> object ------
 
-    def _sigma_with_bounds(self, pts_flat, use_fine):
+    def _sigma_with_bounds(self, pts_flat, use_fine, compute_dtype=None):
         sigma = jax.nn.relu(
-            self.model.eval_sigma(self.params, pts_flat, use_fine=use_fine))
+            self.model.eval_sigma(self.params, pts_flat, use_fine=use_fine,
+                                  compute_dtype=compute_dtype))
         if self.bbox is not None:
             inb = _in_bounds_mask(pts_flat, jnp.asarray(self.bbox))
             sigma = jnp.where(inb[:, None], sigma, 0.0)
@@ -190,17 +204,19 @@ class GeometryDistiller:
         o = jnp.repeat(surf, self.n_lights, axis=0)  # (S*L, 3)
         d = surf2l.reshape(-1, 3)
         n_pairs = s * self.n_lights
+        march_dt = jnp.bfloat16 if self.args.bf16_march else None
         z = sampling.gen_z(0.1, self.args.lvis_far, self.n_coarse, n_pairs,
                            lin_in_disp=self.lin_in_disp)
         pts = o[:, None, :] + d[:, None, :] * z[:, :, None]
         sigma = self._sigma_with_bounds(
-            pts.reshape(-1, 3), use_fine=False).reshape(
-                n_pairs, self.n_coarse)
+            pts.reshape(-1, 3), use_fine=False,
+            compute_dtype=march_dt).reshape(n_pairs, self.n_coarse)
         weights = sampling.accumulate_sigma(sigma, z, d)
         z = sampling.gen_z_fine(z, weights, self.n_fine)
         pts = o[:, None, :] + d[:, None, :] * z[:, :, None]
         sigma = self._sigma_with_bounds(
-            pts.reshape(-1, 3), use_fine=True).reshape(n_pairs, z.shape[1])
+            pts.reshape(-1, 3), use_fine=True,
+            compute_dtype=march_dt).reshape(n_pairs, z.shape[1])
         weights = sampling.accumulate_sigma(sigma, z, d)
         occu = jnp.sum(weights, axis=-1).reshape(s, self.n_lights)
         lvis = 1.0 - occu

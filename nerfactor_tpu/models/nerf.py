@@ -128,14 +128,22 @@ class Model(BaseModel):
                 params[pref + 'rgbs_out'], feat, compute_dtype=dt)
         return rgbs.reshape(shape + (4,))
 
-    def eval_sigma(self, params, pts_flat, use_fine=False):
+    def eval_sigma(self, params, pts_flat, use_fine=False,
+                   compute_dtype=None):
         """sigma (pre-ReLU) at flat points -- used by geometry
-        distillation. (N, 3) -> (N, 1)."""
+        distillation. (N, 3) -> (N, 1).
+
+        ``compute_dtype`` is only passed by the (eval-only) visibility
+        march; the depth/normal pass differentiates through this and
+        always runs f32.
+        """
         pref = 'fine_' if use_fine else 'coarse_'
         feat = self.specs['enc'].apply(
-            params[pref + 'enc'], self._embed_xyz(pts_flat))
+            params[pref + 'enc'], self._embed_xyz(pts_flat),
+            compute_dtype=compute_dtype)
         head = 'sigma_out' if self.use_views else 'rgbs_out'
-        out = self.specs[head].apply(params[pref + head], feat)
+        out = self.specs[head].apply(params[pref + head], feat,
+                                     compute_dtype=compute_dtype)
         return out[:, -1:]  # rgbs_out packs sigma last
 
     def render_rays(self, params, rayo, rayd, mode='train', key=None):

@@ -86,3 +86,24 @@ def test_view_sharding(tiny_nerf, tmp_path):
     assert shards[0] & shards[1] == set(), "Shards overlap"
     # 6 train + 1 vali + 1 test views in total
     assert len(shards[0] | shards[1]) == 8, shards
+
+
+def test_bf16_march_close_to_f32(tiny_nerf, tmp_path):
+    """--bf16_march: the visibility buffers stay within bf16 tolerance
+    of the f32 march (the sigma evals are eval-only; accumulation f32)."""
+    data_root, trained = tiny_nerf
+    from nerfactor_tpu import geometry_from_nerf
+    outs = {}
+    for tag, extra in (('f32', []), ('bf16', ['--bf16_march'])):
+        out_root = str(tmp_path / ('surf_' + tag))
+        geometry_from_nerf.main([
+            '--trained_nerf', trained, '--out_root', out_root,
+            '--light_h', '4', '--lvis_far', '2',
+            '--mlp_chunk', '16384', '--occu_thres', '0.5',
+            '--debug'] + extra)
+        outs[tag] = ioutil.load_np(
+            join(out_root, 'train_000', 'lvis.npy'))
+    diff = np.abs(outs['bf16'] - outs['f32'])
+    assert diff.mean() < 0.02, "Mean lvis drift too high: %f" % diff.mean()
+    assert np.quantile(diff, 0.99) < 0.2, \
+        "Tail lvis drift too high: %f" % np.quantile(diff, 0.99)
