@@ -56,12 +56,15 @@ def parse_args(argv=None):
                         "pixels are marched in one dense pass)")
     p.add_argument('--spp', type=int, default=1)
     p.add_argument('--fps', type=int, default=12)
-    p.add_argument('--bf16_march', action='store_true',
+    p.add_argument('--bf16_march', action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="run the (surface x 512 lights x samples)-scale "
                         "sigma evals of the visibility march in bf16 "
-                        "(the march is eval-only; transmittance "
-                        "accumulation stays f32; the differentiated "
-                        "depth/normal pass always runs f32)")
+                        "(eval-only; transmittance accumulation stays "
+                        "f32; the differentiated depth/normal pass "
+                        "always runs f32). Measured on v5e: 27.6 -> "
+                        "17.0 s per 4096 points x 512 dirs, lvis drift "
+                        "p99 < 0.005")
     p.add_argument('--view_shard', default='0/1',
                    help="'i/n': process only every n-th view starting at "
                         "i -- distillation is embarrassingly parallel "

@@ -94,7 +94,8 @@ def test_bf16_march_close_to_f32(tiny_nerf, tmp_path):
     data_root, trained = tiny_nerf
     from nerfactor_tpu import geometry_from_nerf
     outs = {}
-    for tag, extra in (('f32', []), ('bf16', ['--bf16_march'])):
+    for tag, extra in (('f32', ['--no-bf16_march']),
+                       ('bf16', ['--bf16_march'])):
         out_root = str(tmp_path / ('surf_' + tag))
         geometry_from_nerf.main([
             '--trained_nerf', trained, '--out_root', out_root,
