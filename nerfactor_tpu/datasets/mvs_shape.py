@@ -67,7 +67,11 @@ class Dataset(BaseDataset):
             logger.warn("Faking light visibility for faster debugging")
             lvis = 0.5 * np.ones(normal.shape[:2] + (512,), np.float32)
         else:
-            lvis = ioutil.load_np(paths['lvis'])
+            # Memory-mapped: rows materialize after ray sampling (see
+            # nerf_shape._load_one)
+            lvis = np.load(paths['lvis'], mmap_mode='r')
+            if imh != lvis.shape[0]:
+                lvis = np.asarray(lvis, np.float32)
         if self.mode == 'test':
             alpha = ioutil.load_img(paths['alpha'])
             rgb = np.zeros_like(xyz)
@@ -94,7 +98,6 @@ class Dataset(BaseDataset):
             "Found XYZs coinciding with the camera"
         norm = np.linalg.norm(normal, axis=2, keepdims=True)
         normal = normal / np.maximum(norm, 1e-12)
-        lvis = np.clip(lvis, 0.0, 1.0)
         return {
             'id': id_, 'hw': tuple(xyz.shape[:2]),
             'rayo': rayo.astype(np.float32),
@@ -103,5 +106,5 @@ class Dataset(BaseDataset):
             'alpha': alpha.astype(np.float32),
             'xyz': xyz.astype(np.float32),
             'normal': normal.astype(np.float32),
-            'lvis': lvis.astype(np.float32),
+            'lvis': lvis,  # clip + f32 cast post-sampling (_postprocess)
         }

@@ -79,7 +79,17 @@ class Dataset(BaseDataset):
             logger.warn("Faking light visibility for faster debugging")
             lvis = 0.5 * np.ones(normal.shape[:2] + (512,), np.float32)
         else:
-            lvis = ioutil.load_np(paths['lvis'])
+            # The lvis buffer is the memory hazard of this stage: at the
+            # reference's 512px it is H x W x 512 = 512 MB fp32 PER VIEW
+            # and the reference caches it decoded (SURVEY hard part #9).
+            # Memory-map it instead; when no resize is needed (the
+            # production configuration distills at the training imh),
+            # training touches only the sampled rows -- _postprocess
+            # materializes AFTER ray selection, so a cached view costs
+            # pages, not 512 MB
+            lvis = np.load(paths['lvis'], mmap_mode='r')
+            if imh != lvis.shape[0]:
+                lvis = np.asarray(lvis, np.float32)
         if self.mode == 'test':
             alpha = ioutil.load_img(paths['alpha'])
             rgb = np.zeros_like(xyz)
@@ -105,7 +115,6 @@ class Dataset(BaseDataset):
             "Found XYZs coinciding with the camera"
         norm = np.linalg.norm(normal, axis=2, keepdims=True)
         normal = normal / np.maximum(norm, 1e-12)
-        lvis = np.clip(lvis, 0.0, 1.0)
         return {
             'id': id_, 'hw': (imh, imw),
             'rayo': rayo.astype(np.float32),
@@ -114,7 +123,10 @@ class Dataset(BaseDataset):
             'alpha': alpha.astype(np.float32),
             'xyz': xyz.astype(np.float32),
             'normal': normal.astype(np.float32),
-            'lvis': lvis.astype(np.float32),
+            # Clip + f32 cast happen post-sampling in _postprocess so a
+            # memory-mapped lvis is never materialized whole at train
+            # time (any on-disk dtype, e.g. f16-packed buffers, works)
+            'lvis': lvis,
         }
 
     def _postprocess(self, data, rng, alpha_thres=0.9):
@@ -128,8 +140,11 @@ class Dataset(BaseDataset):
                          ('xyz', 3), ('normal', 3),
                          ('lvis', data['lvis'].shape[2])):
                 out[k] = flat(k, d)
+            out['lvis'] = np.clip(
+                np.asarray(out['lvis'], np.float32), 0.0, 1.0)
             return out
-        # Training: sample only foreground rays
+        # Training: sample only foreground rays; lvis rows materialize
+        # only AFTER selection (lvis may be a 512 MB memory map)
         alpha = data['alpha'].reshape(-1)
         fg = np.flatnonzero(alpha > alpha_thres)
         assert fg.size > 0, "No foreground pixel above threshold to sample"
@@ -138,4 +153,6 @@ class Dataset(BaseDataset):
                      ('xyz', 3), ('normal', 3),
                      ('lvis', data['lvis'].shape[2])):
             out[k] = flat(k, d)[sel]
+        out['lvis'] = np.clip(
+            np.asarray(out['lvis'], np.float32), 0.0, 1.0)
         return out

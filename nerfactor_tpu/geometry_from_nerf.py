@@ -55,6 +55,10 @@ def parse_args(argv=None):
                    help="accepted for CLI parity; unused (all light "
                         "pixels are marched in one dense pass)")
     p.add_argument('--spp', type=int, default=1)
+    p.add_argument('--lvis_dtype', default='float32',
+                   choices=['float32', 'float16'],
+                   help="on-disk dtype of lvis.npy (f16 halves the "
+                        "largest buffer; loaders accept both)")
     p.add_argument('--fps', type=int, default=12)
     p.add_argument('--bf16_march', action=argparse.BooleanOptionalAction,
                    default=True,
@@ -301,7 +305,8 @@ def process_view(distiller, batch, out_root, args):
     lvis = np.zeros(hw + (n_lights,), dtype=np.float32)
     lvis[hit.reshape(hw)] = lvis_hit
     lvis *= alpha_map.reshape(hw + (1,))
-    buffers.write_lvis(lvis, args.fps, out_dir)
+    buffers.write_lvis(lvis, args.fps, out_dir,
+                       dtype=np.dtype(args.lvis_dtype))
 
 
 def main(argv=None):

@@ -14,8 +14,13 @@ import numpy as np
 from nerfactor_tpu.utils import io as ioutil, vis as visutil
 
 
-def write_lvis(lvis, fps, out_dir):
-    ioutil.save_np(lvis.astype(np.float32), join(out_dir, 'lvis.npy'))
+def write_lvis(lvis, fps, out_dir, dtype=np.float32):
+    """``dtype=np.float16`` halves the on-disk/IO cost of the largest
+    buffer (H x W x 512); the loaders accept any dtype (values are in
+    [0, 1], so f16 loses nothing material). f32 is the reference-
+    compatible default."""
+    ioutil.save_np(np.asarray(lvis).astype(dtype), join(out_dir,
+                                                        'lvis.npy'))
     lvis_avg = np.mean(lvis, axis=2)
     ioutil.write_img(lvis_avg, join(out_dir, 'lvis.png'))
     frames = []

@@ -74,3 +74,48 @@ def test_shape_normals_learned(shape_run):
     assert np.mean(cos) > 0.5, "Normals not learned: mean cos=%.3f" \
         % np.mean(cos)
     del jax
+
+
+def test_lvis_memmap_lazy_loading(tmp_path):
+    """At native resolution, lvis stays a memory map in the cached view
+    and only the sampled rows materialize -- the reference-scale buffer
+    is 512 MB/view (SURVEY hard part #9). f16-packed buffers load too."""
+    import numpy as np
+    from tests import synth
+    from nerfactor_tpu.datasets.nerf_shape import Dataset
+    from nerfactor_tpu.utils import config as configutil
+    root = str(tmp_path / 'scene')
+    synth.make_scene(root, n_train=2, n_vali=1, n_test=1, imh=8,
+                     with_buffers=True, light_h=2)
+    # Repack one view's lvis as f16 (the --lvis_dtype path)
+    lv_path = join(root, 'surf', 'train_000', 'lvis.npy')
+    lv32 = np.load(lv_path)
+    np.save(lv_path, lv32.astype(np.float16))
+    parser = configutil.read_config(
+        configutil.resolve_config_path('shape.ini'))
+    configutil.apply_override(parser, ','.join([
+        'data_root=%s' % root, 'data_nerf_root=%s/surf' % root,
+        'imh=8', 'light_h=2', 'n_rays_per_step=16']))
+    ds = Dataset(configutil.Config(parser), 'train')
+    f16_file = [f for f in ds.files if 'train_000' in f][0]
+    data = ds._load_one(f16_file)
+    assert isinstance(data['lvis'], np.memmap), \
+        "lvis should stay memory-mapped at native resolution"
+    assert data['lvis'].dtype == np.float16
+    rng = np.random.default_rng(0)
+    batch = ds._postprocess(data, rng)
+    assert batch['lvis'].dtype == np.float32
+    assert batch['lvis'].shape == (16, 8)  # bs x n_lights
+    assert batch['lvis'].min() >= 0 and batch['lvis'].max() <= 1
+    # Every sampled row must be an actual (f16-rounded) row of the
+    # original f32 buffer
+    ref_rows = np.clip(lv32.reshape(-1, 8).astype(np.float16)
+                       .astype(np.float32), 0.0, 1.0)
+    for row in batch['lvis']:
+        assert (np.abs(ref_rows - row).max(axis=1) < 1e-7).any()
+    # Full-image vali path materializes and clips
+    ds_v = Dataset(configutil.Config(parser), 'vali')
+    data_v = ds_v._load_one(ds_v.files[0])
+    batch_v = ds_v._postprocess(data_v, rng)
+    assert batch_v['lvis'].dtype == np.float32
+    assert batch_v['lvis'].shape == (64, 8)
