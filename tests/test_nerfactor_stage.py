@@ -326,3 +326,24 @@ def test_relight_algebra_vs_quadrature(pipeline):
         np.testing.assert_allclose(
             np.asarray(rgb_probes[:, p]), integrate(probe),
             rtol=1e-4, atol=1e-5)
+
+
+def test_color_correct_albedo(nerfactor_run):
+    """--color_correct_albedo: per-channel LS scales from the first vali
+    view's GT albedo (reference test.py:46-88), applied at inference."""
+    from nerfactor_tpu import test as test_driver
+    ckpt = join(nerfactor_run, 'checkpoints', 'ckpt-4')
+    scales = test_driver.compute_rgb_scales(ckpt)
+    assert scales.shape == (3,)
+    assert np.isfinite(scales).all() and (scales > 0).all()
+    # Reference parity: corrected outputs land in the SAME outroot
+    # (test.py:144-148 adds no suffix for color correction)
+    outroot = join(nerfactor_run, 'vis_test', 'ckpt-4')
+    before = ioutil.load_img(
+        join(outroot, 'batch000000000', 'pred_albedo.png'))
+    test_driver.main(['--ckpt', ckpt, '--color_correct_albedo'])
+    after = ioutil.load_img(
+        join(outroot, 'batch000000000', 'pred_albedo.png'))
+    if not np.allclose(np.asarray(scales), 1.0, atol=1e-3):
+        assert not np.array_equal(before, after), \
+            "Color correction did not change the albedo output"
