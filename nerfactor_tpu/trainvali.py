@@ -101,6 +101,23 @@ def split_batch(dataset, batch):
     return meta, arrays
 
 
+def device_batches(dataset, datapipe, dmesh):
+    """(meta, device_arrays) iterator with one-batch lookahead: the
+    host->device transfer of batch N+1 (async under jax.device_put)
+    overlaps the device step on batch N -- prefetch-to-device, the
+    tf.data `prefetch` parity the reference gets from its input
+    pipeline (datasets/base.py:84-114 there)."""
+    prev = None
+    for batch in datapipe:
+        meta, arrays = split_batch(dataset, batch)
+        arrays = meshlib.shard_batch(arrays, dmesh)
+        if prev is not None:
+            yield prev
+        prev = (meta, arrays)
+    if prev is not None:
+        yield prev
+
+
 def maintain_epoch_queue(queue, new_epoch_dir):
     queue.appendleft(new_epoch_dir)
     parent = dirname(new_epoch_dir)
@@ -211,19 +228,24 @@ def main(argv=None):
                     profile_dir)
 
     step = step_restored
+    period_t0 = time()
+    period_batches = 0
     for _ in range(step_restored, epochs):
         # ------ Train on all batches of this epoch ------
-        batch_loss, batch_time = [], []
-        for batch in datapipe_train:
-            _, arrays = split_batch(dataset_train, batch)
-            arrays = meshlib.shard_batch(arrays, dmesh)
+        # Losses stay ON DEVICE: per-step float()s would force a device
+        # round trip per dispatch (measured ~90 ms/step through this TPU
+        # tunnel), serializing the pipeline. One small sync per epoch
+        # bounds the dispatch queue; the full sync + honest timing happen
+        # at checkpoint boundaries.
+        batch_loss = []
+        n_batches = 0
+        for _, arrays in device_batches(dataset_train, datapipe_train,
+                                        dmesh):
             key, step_key = jax.random.split(key)
-            t0 = time()
             params, opt_state, loss = train_step(
                 params, opt_state, arrays, step_key)
-            loss = float(loss)  # blocks; includes device time
-            batch_time.append(time() - t0)
             batch_loss.append(loss)
+            n_batches += 1
             if profile_left > 0:
                 profile_left -= 1
                 if profile_left == 0:
@@ -232,24 +254,37 @@ def main(argv=None):
             if args.debug:
                 # The reference's check_numerics guards run in debug
                 # mode; here the equivalent is a hard finite check
-                assert np.isfinite(loss), "Loss went non-finite: %r" % loss
+                assert np.isfinite(float(loss)), \
+                    "Loss went non-finite: %r" % float(loss)
                 logger.warn("Debug mode: skipping the rest of this epoch")
                 break
-        assert batch_time, "Dataset is empty"
+        assert n_batches, "Dataset is empty"
+        # Backpressure: one scalar readback per epoch keeps the host
+        # from enqueuing unboundedly far ahead of the device -- and
+        # doubles as a per-epoch NaN guard
+        last_loss = float(batch_loss[-1])
+        assert np.isfinite(last_loss), \
+            "Loss went non-finite at epoch %d: %r" % (step + 1, last_loss)
         step += 1
+        period_batches += n_batches
 
         # ------ Checkpoint + train summaries (host 0 only) ------
         if step % ckpt_period == 0 and is_lead:
+            # Full sync: losses of THIS epoch + wall time of the period
+            batch_loss = [float(l) for l in jax.device_get(batch_loss)]
+            elapsed = time() - period_t0
             saved = ckptmanager.save(
                 step, {'params': jax.device_get(params),
                        'opt_state': jax.device_get(opt_state)})
             logger.info("Checkpointed epoch %d:\n\t%s", step, saved)
             writer_train.scalars(
                 step, loss_train=np.mean(batch_loss),
-                batch_time_train=np.mean(batch_time),
-                rays_per_sec=dataset_train.bs / np.mean(batch_time))
+                batch_time_train=elapsed / max(period_batches, 1),
+                rays_per_sec=dataset_train.bs * period_batches / elapsed)
             maintain_epoch_queue(
                 train_epoch_deque, train_vis_epoch_dir.format(e=step))
+            period_t0 = time()
+            period_batches = 0
 
         # ------ Validation ------
         if datapipe_vali is not None and vali_period > 0 \
