@@ -22,10 +22,15 @@ Use :func:`apply_chain`; it dispatches to the kernel on TPU and to the
 pure-JAX reference implementation elsewhere (so CPU tests exercise the
 same math and serve as the oracle).
 
-Status (v5e, round 1, final): ``fused_mlp`` stays False -- measured
-physics, in case a later round picks this back up:
+Status (v5e, round 1): ``fused_mlp`` is True by default in the shape/
+joint configs. The shipping path is the TRANSPOSED-BOUNDARY trig
+kernels (see that section's comment): boundary tensors cross the
+custom-call as (features, N*L) so the forced row-major layout is
+compact, which fixed the end-to-end regression below -- joint train
+step 24.6 ms (XLA bf16 chains) -> 14.2 ms (fused). Measured physics of
+the earlier row-major attempts, kept for the record:
 
-  * TRIG kernels (current default path here): the embedding is
+  * TRIG kernels (the row-major variant): the embedding is
     evaluated as ``[x | sin(x @ A + P)]`` with A a constant frequency-
     selection matrix and P a 0/pi-2 phase row -- one aligned f32 matmul
     + one vectorized sin, replacing the earlier scratch-store wide
@@ -37,21 +42,16 @@ physics, in case a later round picks this back up:
     the entire input-cotangent branch. In isolation at 524288 rows the
     kernel now BEATS the XLA reference: 5.4 vs 6.0 ms device (no-dx),
     fwd-only 1.8 ms; block-size independent between 1024 and 2048 rows.
-  * BUT end-to-end the fused joint step is 76.8 vs 24.6 ms. Cause
-    (verified via compiled-HLO cost analysis: 36.25 vs 16.25 GB
+  * BUT end-to-end the row-major fused joint step was 76.8 vs 24.6 ms.
+    Cause (verified via compiled-HLO cost analysis: 36.25 vs 16.25 GB
     accessed): XLA lays (524288, k<8) tensors out column-major
     ({0,1:T(4,128)}, ~8 MB physical), while a pallas custom call forces
     row-major {1,0} operands whose minor dim pads to 128 lanes --
     268 MB PHYSICAL per (N*L, small) operand/result, plus layout
-    copies. Fix for a future round: transpose the kernel world --
-    boundary tensors shaped (features, N*L) {1,0} are compact, with
-    samples along lanes and all matmuls/stores transposed inside the
-    kernel (MXU is indifferent); the model would hand over x^T and
-    consume y^T, both cheap bitcasts at the (N, L) level.
-  * Even with free boundaries the headroom is modest: the XLA bf16
-    reference chain is within ~10% of this kernel (its activation
-    traffic overlaps well), so the win is ~2 ms/step across all three
-    N*L chains. Parked as not worth the surface area this round.
+    copies. The transposed-boundary kernels fix exactly this, and beat
+    the "modest headroom" prediction (14.2 vs 24.6 ms end-to-end):
+    with boundaries compact, the recompute backward's elimination of
+    all saved-activation traffic finally shows up.
   * Older Mosaic/libtpu landmines (still relevant): body temporaries
     are stack-allocated without reuse; per-frequency dW accumulation in
     a fori_loop trips a libtpu AOT RET_CHECK
@@ -1075,28 +1075,389 @@ def _pallas_backward(plan, x, params, dy):
     return dx, dparams
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _fused_chain_impl(plan, needs_dx, x, params):
+# ------ transposed-boundary trig kernels ------
+#
+# A pallas custom call forces row-major layouts on its HBM operands and
+# results; for (N*L, small) tensors that pads the minor dim to 128
+# lanes -- 268 MB PHYSICAL per operand at lvis scale, where XLA itself
+# would store them column-major (~8 MB). Fix: the kernel world is
+# TRANSPOSED. Boundary tensors are (features, N*L): row-major now puts
+# the huge sample axis on lanes and only pads the feature axis to 8
+# sublanes (6 -> 8 for raw xyz|ldir inputs, 1 -> 8 for the head
+# output). At the jax level the model still hands over (N, features);
+# the .T on entry/exit lands on XLA's side of the custom-call boundary,
+# where layout assignment turns it into a bitcast of the column-major
+# form it prefers anyway.
+#
+# In-kernel consequences:
+#   * every tensor is (features, block): matmuls become W^T @ h with
+#     dot_general dimension numbers (the MXU is indifferent);
+#   * weights arrive pre-transposed AND pre-split per input segment
+#     ([h | trig | x] consumers get separate (W, hw)/(W, T)/(W, raw)
+#     arrays), so the kernel never slices the lane dim and needs no
+#     8-align row padding;
+#   * biases are (W, 1) columns broadcast along lanes;
+#   * dW accumulators keep the transposed segment shapes and are
+#     re-assembled (transpose + inverse permutation) at the XLA level.
+#
+# Measured (v5e, lvis-scale 524288 rows, 128x4 + head, whole-run wall
+# clock): fwd+bwd 4.4 ms vs 5.4 ms for the row-major kernel and 6.0 ms
+# for the XLA bf16 reference chain; joint train step 24.6 -> 21.5 ms
+# with fused_mlp=True (now the default in the shape/joint configs).
+
+
+def _f32_tn(a, b):
+    """a.T @ b in f32 (transpose-free dot_general)."""
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _seg_index_map(plan):
+    """Static ref-index map of the per-layer weight segments, in the
+    order _flatten_params_t emits them."""
+    idx, cur, t = [], 0, trig_dim(plan)
+    for i in range(len(plan.widths)):
+        entry = {}
+        if i == 0:
+            if t:
+                entry['trig'] = cur
+                cur += 1
+            entry['x'] = cur
+            cur += 1
+        elif (i - 1) in plan.skip_at:
+            entry['h'] = cur
+            cur += 1
+            if t:
+                entry['trig'] = cur
+                cur += 1
+            entry['x'] = cur
+            cur += 1
+        else:
+            entry['h'] = cur
+            cur += 1
+        entry['b'] = cur
+        cur += 1
+        idx.append(entry)
+    return idx, cur
+
+
+def _flatten_params_t(plan, params):
+    """Transposed weight segments + (W, 1) biases, trig-permuted
+    embedding order, no alignment padding (segments are separate
+    arrays; the kernel never slices lanes)."""
+    perm = jnp.asarray(trig_perm(plan))
+    t = trig_dim(plan)
+    flat = []
+    for i, (w, b) in enumerate(params):
+        if i == 0:
+            wp = w[perm]
+            if t:
+                flat.append(wp[:t].T)
+            flat.append(wp[t:].T)
+        elif (i - 1) in plan.skip_at:
+            hw = plan.widths[i - 1]
+            flat.append(w[:hw].T)
+            wp = w[hw:][perm]
+            if t:
+                flat.append(wp[:t].T)
+            flat.append(wp[t:].T)
+        else:
+            flat.append(w.T)
+        flat.append(b.reshape(-1, 1))
+    return flat
+
+
+def _unflatten_dparams_t(plan, dflat):
+    """Inverse of _flatten_params_t on the gradient arrays."""
+    inv = jnp.asarray(np.argsort(trig_perm(plan)))
+    t = trig_dim(plan)
+    out = []
+    it = iter(dflat)
+    for i in range(len(plan.widths)):
+        if i == 0:
+            parts = [next(it).T] if t else []
+            parts.append(next(it).T)
+            dw = jnp.concatenate(parts, axis=0)[inv] if len(parts) > 1 \
+                else parts[0][inv]
+        elif (i - 1) in plan.skip_at:
+            dh = next(it).T
+            parts = [next(it).T] if t else []
+            parts.append(next(it).T)
+            de = jnp.concatenate(parts, axis=0)[inv] if len(parts) > 1 \
+                else parts[0][inv]
+            dw = jnp.concatenate([dh, de], axis=0)
+        else:
+            dw = next(it).T
+        db = next(it).reshape(-1)
+        out.append((dw, db))
+    return out
+
+
+def _fwd_layers_trig_t(plan, x, trig, w_refs, keep_hidden=False):
+    """Layer chain in the transposed world: every tensor is
+    (features, block)."""
+    seg, _ = _seg_index_map(plan)
+    h, posts = None, []
+    for i, act in enumerate(plan.acts):
+        s = seg[i]
+        if i == 0:
+            pre = _kdot(w_refs[s['x']][:], x)
+            if 'trig' in s:
+                pre = pre + _kdot(w_refs[s['trig']][:], trig)
+        elif 'x' in s:  # skip consumer
+            pre = _kdot(w_refs[s['h']][:], h) \
+                + _kdot(w_refs[s['x']][:], x)
+            if 'trig' in s:
+                pre = pre + _kdot(w_refs[s['trig']][:], trig)
+        else:
+            pre = _kdot(w_refs[s['h']][:], h)
+        pre = pre + w_refs[s['b']][:]
+        h = _act(act, pre)
+        if keep_hidden:
+            posts.append(h)
+    return h, posts
+
+
+def _fwd_kernel_trig_t(plan, with_stash, x_ref, *refs):
+    t = trig_dim(plan)
+    if t:
+        a_ref, p_ref = refs[0], refs[1]
+        refs = refs[2:]
+    if with_stash and t:
+        y_ref, trig_out_ref = refs[-2], refs[-1]
+        w_refs = refs[:-2]
+    else:
+        y_ref = refs[-1]
+        w_refs = refs[:-1]
+    x = x_ref[:]
+    if t:
+        # Phase must be exact: A^T @ x in f32 (freqs reach 2**(f-1))
+        xf = jnp.dot(a_ref[:], x, preferred_element_type=jnp.float32) \
+            + p_ref[:]
+        trig = jnp.sin(xf).astype(_stash_dtype())
+    else:
+        trig = None
+    h, _ = _fwd_layers_trig_t(plan, x, trig, w_refs)
+    y_ref[:] = h
+    if with_stash and t:
+        trig_out_ref[:] = trig
+
+
+def _bwd_kernel_trig_t(plan, needs_dx, x_ref, dy_ref, *refs):
+    t = trig_dim(plan)
+    if t:
+        trig_ref = refs[0]
+        refs = refs[1:]
+    if needs_dx and t:
+        a_ref, p_ref = refs[0], refs[1]
+        refs = refs[2:]
+    seg, n_seg = _seg_index_map(plan)
+    w_refs = refs[:n_seg]
+    rest = refs[n_seg:]
+    if needs_dx:
+        dx_ref = rest[0]
+        dwb_refs = rest[1:]
+    else:
+        dwb_refs = rest
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for r in dwb_refs:
+            r[:] = jnp.zeros(r.shape, r.dtype)
+
+    x = x_ref[:]
+    trig = trig_ref[:] if t else None  # forward-pass stash
+    _, posts = _fwd_layers_trig_t(plan, x, trig, w_refs,
+                                  keep_hidden=True)
+    d_h = dy_ref[:]
+    d_trig = jnp.zeros(trig.shape, jnp.float32) \
+        if (t and needs_dx) else None
+    d_x = jnp.zeros_like(x)
+    for i in range(len(plan.widths) - 1, -1, -1):
+        s = seg[i]
+        d_pre = _act_bwd(plan.acts[i], posts[i], d_h)
+        dwb_refs[s['b']][:] += jnp.sum(d_pre, axis=1, keepdims=True)
+        if 'trig' in s:
+            dwb_refs[s['trig']][:] += _kdot_nt(d_pre, trig)
+            if needs_dx:
+                d_trig = d_trig + _kdot_tn(w_refs[s['trig']][:], d_pre)
+        if 'x' in s:
+            dwb_refs[s['x']][:] += _kdot_nt(d_pre, x)
+            if needs_dx:
+                d_x = d_x + _kdot_tn(w_refs[s['x']][:], d_pre)
+        if i > 0:
+            dwb_refs[s['h']][:] += _kdot_nt(d_pre, posts[i - 1])
+            d_h = _kdot_tn(w_refs[s['h']][:], d_pre)
+    if needs_dx:
+        if t:
+            # cos(xf) only feeds dx: recompute the cheap f32 phase
+            # matmul instead of stashing it in the forward
+            xf = jnp.dot(a_ref[:], x,
+                         preferred_element_type=jnp.float32) + p_ref[:]
+            d_x = d_x + _f32_tn(a_ref[:], d_trig * jnp.cos(xf))
+        dx_ref[:] = d_x
+
+
+def _pick_block_cols_t(plan, backward=False):
+    """Largest lane-block whose live (features, block) tensors fit the
+    VMEM budget. Feature axes pad to 8 sublanes; the model below counts
+    live row-feature totals (posts dominate the backward)."""
+    import os
+    env = os.environ.get(
+        'NERFACTOR_TRIG_T_BLOCK_BWD' if backward
+        else 'NERFACTOR_TRIG_T_BLOCK_FWD')
+    if env:
+        return int(env)
+    pad8 = lambda d: max(8, -(-d) // 8 * 8)
+    maxw = max(pad8(w) for w in plan.widths)
+    t, raw = pad8(trig_dim(plan)), pad8(raw_dim(plan))
+    if backward:
+        feats = 2 * t + (len(plan.widths) + 5) * maxw + 2 * raw + 64
+    else:
+        feats = t + 3 * maxw + raw + 64
+    budget = 8 * 1024 * 1024
+    for block in (8192, 4096, 2048, 1024, 512, 256):
+        if feats * block * 4 <= budget:
+            return block
+    return 128
+
+
+def _pad_cols(xt, block):
+    n = xt.shape[1]
+    pad = (-n) % block
+    if pad:
+        xt = jnp.concatenate(
+            [xt, jnp.zeros(xt.shape[:1] + (pad,), xt.dtype)], axis=1)
+    return xt
+
+
+def _clamp_block(block, n):
+    """Don't pad tiny inputs (N-scale heads, eval chunks) up to a huge
+    lane block: cap at N rounded up to the 128-lane tile."""
+    return min(block, max(128, -(-n) // 128 * 128))
+
+
+def _col_spec(dim, block):
+    return pl.BlockSpec((dim, block), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+
+
+def _trig_mats_t(plan):
+    a, p = _trig_mats(plan)
+    return jnp.asarray(a.T), jnp.asarray(p.reshape(-1, 1))
+
+
+def _pallas_forward_trig_t(plan, x, params, with_stash=False):
+    n = x.shape[0]
+    t = trig_dim(plan)
+    with_stash = with_stash and t > 0
+    block = _clamp_block(_pick_block_cols_t(plan), n)
+    xt = _pad_cols(x.T, block)
+    grid = xt.shape[1] // block
+    ap = list(_trig_mats_t(plan)) if t else []
+    flat = _flatten_params_t(plan, params)
+    in_specs = [_col_spec(raw_dim(plan), block)]
+    in_specs += [_full_spec(arr.shape) for arr in ap]
+    in_specs += [_full_spec(arr.shape) for arr in flat]
+    od = out_dim(plan)
+    out_specs = [_col_spec(od, block)]
+    out_shapes = [jax.ShapeDtypeStruct((od, xt.shape[1]), jnp.float32)]
+    if with_stash:
+        out_specs.append(_col_spec(t, block))
+        out_shapes.append(jax.ShapeDtypeStruct(
+            (t, xt.shape[1]), KERNEL_MATMUL_DTYPE or jnp.float32))
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel_trig_t, plan, with_stash),
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_specs if with_stash else out_specs[0],
+        out_shape=out_shapes if with_stash else out_shapes[0],
+        interpret=INTERPRET,
+    )(xt, *ap, *flat)
+    if with_stash:
+        return outs[0][:, :n].T, outs[1]  # stash keeps col padding
+    return outs[:, :n].T, None
+
+
+def _pallas_backward_trig_t(plan, x, params, dy, trig, needs_dx):
+    n = x.shape[0]
+    t = trig_dim(plan)
+    block = _clamp_block(_pick_block_cols_t(plan, backward=True), n)
+    xt = _pad_cols(x.T, block)
+    dyt = _pad_cols(dy.T, block)
+    grid = xt.shape[1] // block
+    extras = []
+    if t:
+        # Forward stash may carry a different column padding
+        extras.append(_pad_cols(trig[:, :n], block))
+    if needs_dx and t:
+        extras += list(_trig_mats_t(plan))
+    flat = _flatten_params_t(plan, params)
+    in_specs = [_col_spec(raw_dim(plan), block),
+                _col_spec(out_dim(plan), block)]
+    if t:
+        in_specs.append(_col_spec(t, block))
+    if needs_dx and t:
+        in_specs += [_full_spec(arr.shape) for arr in extras[-2:]]
+    in_specs += [_full_spec(arr.shape) for arr in flat]
+    out_specs, out_shapes = [], []
+    if needs_dx:
+        out_specs.append(_col_spec(raw_dim(plan), block))
+        out_shapes.append(jax.ShapeDtypeStruct(
+            (raw_dim(plan), xt.shape[1]), jnp.float32))
+    for arr in flat:
+        out_specs.append(_full_spec(arr.shape))
+        out_shapes.append(jax.ShapeDtypeStruct(arr.shape, jnp.float32))
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel_trig_t, plan, needs_dx),
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=INTERPRET,
+    )(xt, dyt, *extras, *flat)
+    if needs_dx:
+        dx = outs[0][:, :n].T
+        dws = outs[1:]
+    else:
+        dx = None
+        dws = outs
+    return dx, _unflatten_dparams_t(plan, dws)
+
+
+# Transposed boundaries by default: compact custom-call layouts (see the
+# section comment above). False falls back to the row-major kernels,
+# kept for A/B measurement.
+TRANSPOSED_BOUNDARY = True
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _fused_chain_impl(plan, needs_dx, transposed, x, params):
     if _last_skip(plan):
         return _pallas_forward(plan, x, params)
-    y, _ = _pallas_forward_trig(plan, x, params)
+    if transposed:
+        y, _ = _pallas_forward_trig_t(plan, x, params)
+    else:
+        y, _ = _pallas_forward_trig(plan, x, params)
     return y
 
 
-def _fused_chain_impl_fwd(plan, needs_dx, x, params):
+def _fused_chain_impl_fwd(plan, needs_dx, transposed, x, params):
     if _last_skip(plan):
         return _pallas_forward(plan, x, params), (x, params, None)
-    y, trig = _pallas_forward_trig(plan, x, params, with_stash=True)
+    fwd = _pallas_forward_trig_t if transposed else _pallas_forward_trig
+    y, trig = fwd(plan, x, params, with_stash=True)
     return y, (x, params, trig)
 
 
-def _fused_chain_impl_bwd(plan, needs_dx, res, dy):
+def _fused_chain_impl_bwd(plan, needs_dx, transposed, res, dy):
     x, params, trig = res
     if _last_skip(plan):
         dx, dparams = _pallas_backward(plan, x, params, dy)
         return dx, dparams
-    dx, dparams = _pallas_backward_trig(
-        plan, x, params, dy, trig, needs_dx)
+    bwd = _pallas_backward_trig_t if transposed \
+        else _pallas_backward_trig
+    dx, dparams = bwd(plan, x, params, dy, trig, needs_dx)
     if dx is None:
         # Caller declared x gradient-free (needs_dx=False)
         dx = jnp.zeros_like(x)
@@ -1106,8 +1467,10 @@ def _fused_chain_impl_bwd(plan, needs_dx, res, dy):
 _fused_chain_impl.defvjp(_fused_chain_impl_fwd, _fused_chain_impl_bwd)
 
 
-def _fused_chain(plan, x, params, needs_dx=True):
-    return _fused_chain_impl(plan, needs_dx, x, params)
+def _fused_chain(plan, x, params, needs_dx=True, transposed=None):
+    if transposed is None:
+        transposed = TRANSPOSED_BOUNDARY
+    return _fused_chain_impl(plan, needs_dx, bool(transposed), x, params)
 
 
 def apply_chain(plan, x, params, force_reference=False,

@@ -12,16 +12,23 @@ from nerfactor_tpu.models import networks
 from nerfactor_tpu.ops import encoding, pallas_mlp as pm
 
 
-@pytest.fixture(autouse=True)
-def interpret_mode():
+@pytest.fixture(autouse=True, params=[True, False],
+                ids=['transposed', 'rowmajor'])
+def interpret_mode(request):
     pm.INTERPRET = True
     # Exactness tests run the kernels at f32 (on TPU the kernels default
-    # to bf16 MXU passes; a dedicated test covers that tolerance)
+    # to bf16 MXU passes; a dedicated test covers that tolerance).
+    # Both boundary orientations (transposed = compact custom-call
+    # layouts, the TPU default; row-major = the legacy kernels) must
+    # match the reference.
     old = pm.KERNEL_MATMUL_DTYPE
+    old_t = pm.TRANSPOSED_BOUNDARY
     pm.KERNEL_MATMUL_DTYPE = None
+    pm.TRANSPOSED_BOUNDARY = request.param
     yield
     pm.INTERPRET = False
     pm.KERNEL_MATMUL_DTYPE = old
+    pm.TRANSPOSED_BOUNDARY = old_t
 
 
 def make_params(plan, seed=0, scale=0.3):

@@ -16,7 +16,8 @@ import time
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--impl', choices=['ref', 'fused'], default='ref')
+    ap.add_argument('--impl', choices=['ref', 'fused', 'fused_rowmajor'],
+                    default='ref')
     ap.add_argument('--mode', choices=['fwd', 'both'], default='both')
     ap.add_argument('--rows', type=int, default=524288)
     ap.add_argument('--steps', type=int, default=20)
@@ -60,9 +61,10 @@ def main():
     x = jnp.asarray(rng.randn(args.rows, pm.raw_dim(plan)), jnp.float32)
 
     def chain(x_, p_):
-        if args.impl == 'fused':
-            return pm._fused_chain(plan, x_, p_,
-                                   needs_dx=args.needs_dx)
+        if args.impl.startswith('fused'):
+            return pm._fused_chain(
+                plan, x_, p_, needs_dx=args.needs_dx,
+                transposed=(args.impl == 'fused'))
         return pm.chain_reference(plan, x_, p_,
                                   compute_dtype=compute_dtype)
 
