@@ -21,6 +21,7 @@ from nerfactor_tpu.models.base import BaseModel
 from nerfactor_tpu.models import networks
 from nerfactor_tpu.ops import encoding, sampling
 from nerfactor_tpu.ops import img as imgops
+from nerfactor_tpu.ops import pallas_mlp, pallas_nerf
 from nerfactor_tpu.utils import io as ioutil, vis as visutil, metrics
 from nerfactor_tpu.utils.logging import Logger
 
@@ -72,6 +73,26 @@ class Model(BaseModel):
         # and geometry distillation's eval_sigma always runs f32)
         self.big_chain_dtype = jnp.bfloat16 if config.getboolean(
             'bf16_big_chains', fallback=False) else None
+        # Fused Pallas evaluation (transposed-boundary kernels): the
+        # branched trunk->{sigma, bottleneck}->(+views)->rgb topology
+        # runs as ONE kernel (ops/pallas_nerf.py); the sigma-only
+        # subset (geometry distillation) as a generic fused chain.
+        # Off-TPU both fall back to pinned-equivalent reference math.
+        self.fused_mlp = config.getboolean('fused_mlp', fallback=False)
+        nf_xyz = self.n_freqs_xyz if self.pos_enc else 0
+        nf_view = self.n_freqs_view \
+            if (self.pos_enc and self.use_views) else 0
+        if self.use_views:
+            self.nerf_plan = pallas_nerf.make_nerf_plan(
+                nf_xyz, nf_view, mlp_width, enc_depth, enc_depth // 2,
+                self.act, (mlp_width // 2, 3), (self.act, None))
+        else:
+            self.rgbs_plan = pallas_mlp.plan_from_specs(
+                [(3, nf_xyz)], self.specs['enc'],
+                self.specs['rgbs_out'])
+        sigma_head = 'sigma_out' if self.use_views else 'rgbs_out'
+        self.sigma_plan = pallas_mlp.plan_from_specs(
+            [(3, nf_xyz)], self.specs['enc'], self.specs[sigma_head])
         # Eval-time ray chunk: mlp_chunk counts flattened samples
         # (reference semantics); convert to rays.
         mlp_chunk = config.getint('mlp_chunk', fallback=1048576)
@@ -102,11 +123,32 @@ class Model(BaseModel):
             return encoding.posenc(views, self.n_freqs_view)
         return views
 
+    @staticmethod
+    def _pairs(layers):
+        return [(l['w'], l['b']) for l in layers]
+
     def eval_nerf_at(self, params, pts, views, use_fine=False):
         """(n_rays, n_samples, 3) x2 -> (n_rays, n_samples, 4) raw rgbs."""
         pref = 'fine_' if use_fine else 'coarse_'
         dt = self.big_chain_dtype
         shape = pts.shape[:2]
+        if self.fused_mlp:
+            if self.use_views:
+                p = (self._pairs(params[pref + 'enc']),
+                     self._pairs(params[pref + 'sigma_out']),
+                     self._pairs(params[pref + 'bottleneck']),
+                     self._pairs(params[pref + 'rgb_out']))
+                rgb, sigma = pallas_nerf.apply_nerf(
+                    self.nerf_plan, pts.reshape(-1, 3),
+                    views.reshape(-1, 3), p, compute_dtype=dt)
+                return jnp.concatenate(
+                    [rgb, sigma], axis=-1).reshape(shape + (4,))
+            p = pallas_mlp.params_from_tree(
+                params[pref + 'enc'], params[pref + 'rgbs_out'])
+            rgbs = pallas_mlp.apply_chain(
+                self.rgbs_plan, pts.reshape(-1, 3), p,
+                compute_dtype=dt, needs_dx=False)
+            return rgbs.reshape(shape + (4,))
         pts_flat = pts.reshape(-1, 3)
         pts_embed = self._embed_xyz(pts_flat)
         feat = self.specs['enc'].apply(params[pref + 'enc'], pts_embed,
@@ -136,8 +178,21 @@ class Model(BaseModel):
         ``compute_dtype`` is only passed by the (eval-only) visibility
         march; the depth/normal pass differentiates through this and
         always runs f32.
+
+        eval_sigma is never trained through (training goes via
+        eval_nerf_at), so the fused path declares needs_dw=False: the
+        sigma-gradient normal pass (jax.grad w.r.t. the points) gets
+        its input cotangents without paying for weight gradients.
         """
         pref = 'fine_' if use_fine else 'coarse_'
+        if self.fused_mlp:
+            head = 'sigma_out' if self.use_views else 'rgbs_out'
+            p = pallas_mlp.params_from_tree(
+                params[pref + 'enc'], params[pref + head])
+            out = pallas_mlp.apply_chain(
+                self.sigma_plan, pts_flat, p,
+                compute_dtype=compute_dtype, needs_dw=False)
+            return out[:, -1:]
         feat = self.specs['enc'].apply(
             params[pref + 'enc'], self._embed_xyz(pts_flat),
             compute_dtype=compute_dtype)

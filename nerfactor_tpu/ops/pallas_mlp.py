@@ -626,7 +626,7 @@ BWD_STASH_DTYPE = jnp.float32
 def _perm_flat_wide(plan, flat):
     """Permutes the embedding rows of every embed-consumer layer's
     weight into the kernel's wide order (XLA-level gathers, tiny)."""
-    perm = jnp.asarray(wide_perm(plan))
+    perm = wide_perm(plan)
     out = list(flat)
     for i in range(len(plan.widths)):
         w = out[2 * i]
@@ -640,7 +640,7 @@ def _perm_flat_wide(plan, flat):
 
 def _unperm_dw(plan, dflat):
     """Inverse permutation on the dW rows coming out of the kernel."""
-    inv = jnp.asarray(np.argsort(wide_perm(plan)))
+    inv = np.argsort(wide_perm(plan))
     out = list(dflat)
     for i in range(len(plan.widths)):
         dw = out[2 * i]
@@ -715,7 +715,7 @@ def trig_perm(plan):
 def _perm_flat_trig(plan, flat):
     """Weight rows -> [h | trig | pad | x] order (pad rows are zero and
     keep the x group 8-aligned for in-kernel sublane slicing)."""
-    perm = jnp.asarray(trig_perm(plan))
+    perm = trig_perm(plan)
     t, pt = trig_dim(plan), _trig_row_pad(plan)
     out = list(flat)
 
@@ -738,7 +738,7 @@ def _perm_flat_trig(plan, flat):
 
 
 def _unperm_dw_trig(plan, dflat):
-    inv = jnp.asarray(np.argsort(trig_perm(plan)))
+    inv = np.argsort(trig_perm(plan))
     t, pt = trig_dim(plan), _trig_row_pad(plan)
     out = list(dflat)
 
@@ -1027,7 +1027,7 @@ def _pallas_forward(plan, x, params):
         # The kernel's output embedding concat is in wide order;
         # restore the reference column order
         wl = plan.widths[-1]
-        inv = jnp.asarray(np.argsort(wide_perm(plan)))
+        inv = np.argsort(wide_perm(plan))
         y = jnp.concatenate([y[:, :wl], y[:, wl:][:, inv]], axis=1)
     return y[:n]
 
@@ -1040,7 +1040,7 @@ def _pallas_backward(plan, x, params, dy):
         # Incoming cotangent of the output embedding concat is in
         # reference order; the kernel works in wide order
         wl = plan.widths[-1]
-        perm = jnp.asarray(wide_perm(plan))
+        perm = wide_perm(plan)
         dy = jnp.concatenate([dy[:, :wl], dy[:, wl:][:, perm]], axis=1)
     xp = _pad_rows(x, block)
     dyp = _pad_rows(dy, block)
@@ -1145,7 +1145,7 @@ def _flatten_params_t(plan, params):
     """Transposed weight segments + (W, 1) biases, trig-permuted
     embedding order, no alignment padding (segments are separate
     arrays; the kernel never slices lanes)."""
-    perm = jnp.asarray(trig_perm(plan))
+    perm = trig_perm(plan)
     t = trig_dim(plan)
     flat = []
     for i, (w, b) in enumerate(params):
@@ -1169,7 +1169,7 @@ def _flatten_params_t(plan, params):
 
 def _unflatten_dparams_t(plan, dflat):
     """Inverse of _flatten_params_t on the gradient arrays."""
-    inv = jnp.asarray(np.argsort(trig_perm(plan)))
+    inv = np.argsort(trig_perm(plan))
     t = trig_dim(plan)
     out = []
     it = iter(dflat)
@@ -1243,7 +1243,42 @@ def _fwd_kernel_trig_t(plan, with_stash, x_ref, *refs):
         trig_out_ref[:] = trig
 
 
-def _bwd_kernel_trig_t(plan, needs_dx, x_ref, dy_ref, *refs):
+def _bwd_layers_trig_t(plan, x, trig, w_refs, dwb_refs, posts, d_h,
+                       needs_dx, needs_dw=True):
+    """Reverse walk of a transposed layer chain. ``d_h`` is the
+    cotangent of the LAST layer's post-activation; ``dwb_refs`` (same
+    layout as the w_refs segments) receive += accumulations when
+    ``needs_dw``. Returns (d_x, d_trig) accumulated over all consumer
+    layers (None unless ``needs_dx``). Shared by the generic chain
+    kernel and the NeRF trunk."""
+    t = trig_dim(plan)
+    seg, _ = _seg_index_map(plan)
+    d_trig = jnp.zeros(trig.shape, jnp.float32) \
+        if (t and needs_dx) else None
+    d_x = jnp.zeros_like(x) if needs_dx else None
+    for i in range(len(plan.widths) - 1, -1, -1):
+        s = seg[i]
+        d_pre = _act_bwd(plan.acts[i], posts[i], d_h)
+        if needs_dw:
+            dwb_refs[s['b']][:] += jnp.sum(d_pre, axis=1, keepdims=True)
+        if 'trig' in s:
+            if needs_dw:
+                dwb_refs[s['trig']][:] += _kdot_nt(d_pre, trig)
+            if needs_dx:
+                d_trig = d_trig + _kdot_tn(w_refs[s['trig']][:], d_pre)
+        if 'x' in s:
+            if needs_dw:
+                dwb_refs[s['x']][:] += _kdot_nt(d_pre, x)
+            if needs_dx:
+                d_x = d_x + _kdot_tn(w_refs[s['x']][:], d_pre)
+        if i > 0:
+            if needs_dw:
+                dwb_refs[s['h']][:] += _kdot_nt(d_pre, posts[i - 1])
+            d_h = _kdot_tn(w_refs[s['h']][:], d_pre)
+    return d_x, d_trig
+
+
+def _bwd_kernel_trig_t(plan, needs_dx, needs_dw, x_ref, dy_ref, *refs):
     t = trig_dim(plan)
     if t:
         trig_ref = refs[0]
@@ -1269,25 +1304,9 @@ def _bwd_kernel_trig_t(plan, needs_dx, x_ref, dy_ref, *refs):
     trig = trig_ref[:] if t else None  # forward-pass stash
     _, posts = _fwd_layers_trig_t(plan, x, trig, w_refs,
                                   keep_hidden=True)
-    d_h = dy_ref[:]
-    d_trig = jnp.zeros(trig.shape, jnp.float32) \
-        if (t and needs_dx) else None
-    d_x = jnp.zeros_like(x)
-    for i in range(len(plan.widths) - 1, -1, -1):
-        s = seg[i]
-        d_pre = _act_bwd(plan.acts[i], posts[i], d_h)
-        dwb_refs[s['b']][:] += jnp.sum(d_pre, axis=1, keepdims=True)
-        if 'trig' in s:
-            dwb_refs[s['trig']][:] += _kdot_nt(d_pre, trig)
-            if needs_dx:
-                d_trig = d_trig + _kdot_tn(w_refs[s['trig']][:], d_pre)
-        if 'x' in s:
-            dwb_refs[s['x']][:] += _kdot_nt(d_pre, x)
-            if needs_dx:
-                d_x = d_x + _kdot_tn(w_refs[s['x']][:], d_pre)
-        if i > 0:
-            dwb_refs[s['h']][:] += _kdot_nt(d_pre, posts[i - 1])
-            d_h = _kdot_tn(w_refs[s['h']][:], d_pre)
+    d_x, d_trig = _bwd_layers_trig_t(
+        plan, x, trig, w_refs, dwb_refs, posts, dy_ref[:],
+        needs_dx, needs_dw=needs_dw)
     if needs_dx:
         if t:
             # cos(xf) only feeds dx: recompute the cheap f32 phase
@@ -1379,7 +1398,8 @@ def _pallas_forward_trig_t(plan, x, params, with_stash=False):
     return outs[:, :n].T, None
 
 
-def _pallas_backward_trig_t(plan, x, params, dy, trig, needs_dx):
+def _pallas_backward_trig_t(plan, x, params, dy, trig, needs_dx,
+                            needs_dw=True):
     n = x.shape[0]
     t = trig_dim(plan)
     block = _clamp_block(_pick_block_cols_t(plan, backward=True), n)
@@ -1405,23 +1425,32 @@ def _pallas_backward_trig_t(plan, x, params, dy, trig, needs_dx):
         out_specs.append(_col_spec(raw_dim(plan), block))
         out_shapes.append(jax.ShapeDtypeStruct(
             (raw_dim(plan), xt.shape[1]), jnp.float32))
-    for arr in flat:
-        out_specs.append(_full_spec(arr.shape))
-        out_shapes.append(jax.ShapeDtypeStruct(arr.shape, jnp.float32))
+    if needs_dw:
+        for arr in flat:
+            out_specs.append(_full_spec(arr.shape))
+            out_shapes.append(
+                jax.ShapeDtypeStruct(arr.shape, jnp.float32))
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel_trig_t, plan, needs_dx),
+        functools.partial(_bwd_kernel_trig_t, plan, needs_dx, needs_dw),
         grid=(grid,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=INTERPRET,
     )(xt, dyt, *extras, *flat)
+    if not isinstance(outs, (list, tuple)):
+        outs = [outs]
     if needs_dx:
         dx = outs[0][:, :n].T
         dws = outs[1:]
     else:
         dx = None
         dws = outs
+    if not needs_dw:
+        # Caller declared the weights gradient-free: return zeros (built
+        # at the XLA level, where DCE removes them)
+        return dx, [(jnp.zeros_like(w), jnp.zeros_like(b))
+                    for w, b in params]
     return dx, _unflatten_dparams_t(plan, dws)
 
 
@@ -1431,8 +1460,8 @@ def _pallas_backward_trig_t(plan, x, params, dy, trig, needs_dx):
 TRANSPOSED_BOUNDARY = True
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _fused_chain_impl(plan, needs_dx, transposed, x, params):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _fused_chain_impl(plan, needs_dx, needs_dw, transposed, x, params):
     if _last_skip(plan):
         return _pallas_forward(plan, x, params)
     if transposed:
@@ -1442,7 +1471,8 @@ def _fused_chain_impl(plan, needs_dx, transposed, x, params):
     return y
 
 
-def _fused_chain_impl_fwd(plan, needs_dx, transposed, x, params):
+def _fused_chain_impl_fwd(plan, needs_dx, needs_dw, transposed, x,
+                          params):
     if _last_skip(plan):
         return _pallas_forward(plan, x, params), (x, params, None)
     fwd = _pallas_forward_trig_t if transposed else _pallas_forward_trig
@@ -1450,14 +1480,20 @@ def _fused_chain_impl_fwd(plan, needs_dx, transposed, x, params):
     return y, (x, params, trig)
 
 
-def _fused_chain_impl_bwd(plan, needs_dx, transposed, res, dy):
+def _fused_chain_impl_bwd(plan, needs_dx, needs_dw, transposed, res,
+                          dy):
     x, params, trig = res
     if _last_skip(plan):
         dx, dparams = _pallas_backward(plan, x, params, dy)
         return dx, dparams
-    bwd = _pallas_backward_trig_t if transposed \
-        else _pallas_backward_trig
-    dx, dparams = bwd(plan, x, params, dy, trig, needs_dx)
+    if transposed:
+        dx, dparams = _pallas_backward_trig_t(
+            plan, x, params, dy, trig, needs_dx, needs_dw=needs_dw)
+    else:
+        # Row-major legacy path has no needs_dw fast path; real dW
+        # gradients are a correct superset of the declared need
+        dx, dparams = _pallas_backward_trig(
+            plan, x, params, dy, trig, needs_dx)
     if dx is None:
         # Caller declared x gradient-free (needs_dx=False)
         dx = jnp.zeros_like(x)
@@ -1467,14 +1503,16 @@ def _fused_chain_impl_bwd(plan, needs_dx, transposed, res, dy):
 _fused_chain_impl.defvjp(_fused_chain_impl_fwd, _fused_chain_impl_bwd)
 
 
-def _fused_chain(plan, x, params, needs_dx=True, transposed=None):
+def _fused_chain(plan, x, params, needs_dx=True, needs_dw=True,
+                 transposed=None):
     if transposed is None:
         transposed = TRANSPOSED_BOUNDARY
-    return _fused_chain_impl(plan, needs_dx, bool(transposed), x, params)
+    return _fused_chain_impl(plan, needs_dx, needs_dw,
+                             bool(transposed), x, params)
 
 
 def apply_chain(plan, x, params, force_reference=False,
-                compute_dtype=None, needs_dx=True):
+                compute_dtype=None, needs_dx=True, needs_dw=True):
     """Runs the fused embed->MLP->head chain.
 
     Args:
@@ -1488,6 +1526,10 @@ def apply_chain(plan, x, params, force_reference=False,
         kernel backward then skips the entire input-cotangent branch
         and returns zeros for dx. Must NOT be False if the chain input
         depends on trainable parameters.
+      needs_dw: pass False when the WEIGHTS require no gradient (e.g.
+        differentiating a frozen net w.r.t. its input, as the
+        distillation normal pass does); the kernel backward then skips
+        all dW/db work and returns zero weight cotangents.
 
     Dispatches to the Pallas kernel on TPU, reference JAX otherwise.
     """
@@ -1496,7 +1538,8 @@ def apply_chain(plan, x, params, force_reference=False,
                            and not INTERPRET):
         return chain_reference(plan, x, params,
                                compute_dtype=compute_dtype)
-    return _fused_chain(plan, x, params, needs_dx=needs_dx)
+    return _fused_chain(plan, x, params, needs_dx=needs_dx,
+                        needs_dw=needs_dw)
 
 
 def plan_from_specs(embed_parts, mlp_spec, out_spec):

@@ -1,0 +1,388 @@
+"""Fused NeRF field evaluation as one Pallas TPU kernel.
+
+The NeRF MLP is not a straight chain (reference nerfactor/models/
+nerf.py:53-71): the 8x256 trunk (posenc xyz, input skip mid-trunk)
+forks into a sigma head and a bottleneck, and the rgb branch
+concatenates the positionally-encoded VIEW direction onto the
+bottleneck before two more layers:
+
+    trunk(embed(pts))  --> sigma_out -> sigma           (1)
+                      \\-> bottleneck -> [ . | embed(views) ]
+                            -> rgb_mlp -> rgb           (3)
+
+That topology does not fit pallas_mlp's linear Plan, so this module
+provides a dedicated kernel pair built from the same transposed-
+boundary machinery (see ops/pallas_mlp.py's section comment for the
+layout physics): every boundary tensor is (features, N*S), weights are
+pre-transposed and pre-split per input segment, both positional
+encodings are evaluated as sin(A @ x + P) with exact-f32 phases, and
+the backward recomputes all activations per block (no saved-activation
+HBM traffic). ``needs_dx`` is not supported -- training inputs
+(points, view dirs) are data; the sigma-gradient normal pass uses the
+generic sigma chain in models/nerf.py instead.
+
+Structure of ``params`` (matching models/nerf.py's spec dict):
+    trunk:  list of (w, b) for the enc layers;
+    sigma:  one (w, b), width -> 1, no activation;
+    bott:   one (w, b), width -> width, no activation;
+    rgb:    list of (w, b) for rgb_out ([width+view_embed -> width//2,
+            -> 3]), first layer consumes the bottleneck|views concat.
+
+Returns (rgb, sigma) as (N, 3) and (N, 1) f32.
+"""
+
+import functools
+from collections import namedtuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nerfactor_tpu.ops import pallas_mlp as pm
+
+# Static description. trunk_plan is a pallas_mlp.Plan over the pts
+# embedding; n_freqs_view the view-dir posenc octaves (0 = raw views);
+# rgb_acts the rgb_mlp activations.
+NerfPlan = namedtuple('NerfPlan',
+                      'trunk_plan n_freqs_view rgb_widths rgb_acts')
+
+
+def make_nerf_plan(n_freqs_xyz, n_freqs_view, width, depth, skip_at,
+                   act, rgb_widths, rgb_acts):
+    trunk = pm.make_plan([(3, n_freqs_xyz)], (width,) * depth,
+                         (act,) * depth, (skip_at,))
+    return NerfPlan(trunk, n_freqs_view, tuple(rgb_widths),
+                    tuple(rgb_acts))
+
+
+def _view_plan(nplan):
+    """A single-part pseudo-plan for the view embedding's trig matrices
+    (widths/acts unused)."""
+    return pm.make_plan([(3, nplan.n_freqs_view)], (1,), (None,), ())
+
+
+def _flatten_nerf_params_t(nplan, trunk, sigma, bott, rgb):
+    """Transposed segments in kernel ref order: [trunk segments...,
+    sigma wT+b, bott wT+b, rgb0 (h | view-trig | view-x) wT+b,
+    rgb1 wT+b]."""
+    flat = pm._flatten_params_t(nplan.trunk_plan, trunk)
+    (ws, bs), = sigma
+    flat += [ws.T, bs.reshape(-1, 1)]
+    (wb, bb), = bott
+    flat += [wb.T, bb.reshape(-1, 1)]
+    # rgb layer 0 consumes [bottleneck | embed(views)]; split + permute
+    # the view-embedding rows like a skip consumer
+    (w0, b0), (w1, b1) = rgb
+    hw = bott[0][0].shape[1]
+    vperm = pm.trig_perm(_view_plan(nplan))
+    tv = pm.trig_dim(_view_plan(nplan))
+    wp = w0[hw:][vperm]
+    flat += [w0[:hw].T]
+    if tv:
+        flat += [wp[:tv].T]
+    flat += [wp[tv:].T, b0.reshape(-1, 1)]
+    flat += [w1.T, b1.reshape(-1, 1)]
+    return flat
+
+
+def _unflatten_nerf_dparams_t(nplan, dflat):
+    """Inverse of _flatten_nerf_params_t."""
+    n_trunk = pm._seg_index_map(nplan.trunk_plan)[1]
+    trunk = pm._unflatten_dparams_t(nplan.trunk_plan, dflat[:n_trunk])
+    rest = list(dflat[n_trunk:])
+    sigma = [(rest[0].T, rest[1].reshape(-1))]
+    bott = [(rest[2].T, rest[3].reshape(-1))]
+    rest = rest[4:]
+    vplan = _view_plan(nplan)
+    tv = pm.trig_dim(vplan)
+    inv = np.argsort(pm.trig_perm(vplan))
+    dw_h = rest[0].T
+    if tv:
+        dw_e = jnp.concatenate([rest[1].T, rest[2].T], axis=0)[inv]
+        rest = rest[3:]
+    else:
+        dw_e = rest[1].T[inv]
+        rest = rest[2:]
+    rgb0 = (jnp.concatenate([dw_h, dw_e], axis=0), rest[0].reshape(-1))
+    rgb1 = (rest[1].T, rest[2].reshape(-1))
+    return trunk, sigma, bott, [rgb0, rgb1]
+
+
+def _n_refs(nplan):
+    n_trunk = pm._seg_index_map(nplan.trunk_plan)[1]
+    tv = pm.trig_dim(_view_plan(nplan))
+    return n_trunk + 4 + (4 if tv else 3) + 2
+
+
+def _rgb_branch_fwd(nplan, w_refs, base, bott_post, trig_v, views,
+                    keep_hidden=False):
+    tv = pm.trig_dim(_view_plan(nplan))
+    i = base
+    pre = pm._kdot(w_refs[i][:], bott_post)
+    i += 1
+    if tv:
+        pre = pre + pm._kdot(w_refs[i][:], trig_v)
+        i += 1
+    pre = pre + pm._kdot(w_refs[i][:], views) + w_refs[i + 1][:]
+    i += 2
+    h0 = pm._act(nplan.rgb_acts[0], pre)
+    rgb = pm._act(nplan.rgb_acts[1],
+                  pm._kdot(w_refs[i][:], h0) + w_refs[i + 1][:])
+    return rgb, h0
+
+
+def _fwd_kernel(nplan, with_stash, pts_ref, views_ref, *refs):
+    ap_ref, pp_ref = refs[0], refs[1]
+    refs = refs[2:]
+    tv = pm.trig_dim(_view_plan(nplan))
+    if tv:
+        av_ref, pv_ref = refs[0], refs[1]
+        refs = refs[2:]
+    n_w = _n_refs(nplan)
+    w_refs = refs[:n_w]
+    outs = refs[n_w:]
+    rgb_ref, sigma_ref = outs[0], outs[1]
+    pts, views = pts_ref[:], views_ref[:]
+    xf = jnp.dot(ap_ref[:], pts,
+                 preferred_element_type=jnp.float32) + pp_ref[:]
+    trig_p = jnp.sin(xf).astype(pm._stash_dtype())
+    if tv:
+        vf = jnp.dot(av_ref[:], views,
+                     preferred_element_type=jnp.float32) + pv_ref[:]
+        trig_v = jnp.sin(vf).astype(pm._stash_dtype())
+    else:
+        trig_v = None
+    n_trunk = pm._seg_index_map(nplan.trunk_plan)[1]
+    h, _ = pm._fwd_layers_trig_t(nplan.trunk_plan, pts, trig_p,
+                                 w_refs[:n_trunk])
+    sigma_ref[:] = pm._kdot(w_refs[n_trunk][:], h) \
+        + w_refs[n_trunk + 1][:]
+    bott = pm._kdot(w_refs[n_trunk + 2][:], h) + w_refs[n_trunk + 3][:]
+    rgb, _ = _rgb_branch_fwd(nplan, w_refs, n_trunk + 4, bott, trig_v,
+                             views)
+    rgb_ref[:] = rgb
+    if with_stash:
+        outs[2][:] = trig_p
+        if tv:
+            outs[3][:] = trig_v
+
+
+def _bwd_kernel(nplan, pts_ref, views_ref, drgb_ref, dsigma_ref, *refs):
+    tv = pm.trig_dim(_view_plan(nplan))
+    trig_p = refs[0][:]
+    refs = refs[1:]
+    if tv:
+        trig_v = refs[0][:]
+        refs = refs[1:]
+    else:
+        trig_v = None
+    n_w = _n_refs(nplan)
+    w_refs = refs[:n_w]
+    dwb_refs = refs[n_w:]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for r in dwb_refs:
+            r[:] = jnp.zeros(r.shape, r.dtype)
+
+    pts, views = pts_ref[:], views_ref[:]
+    n_trunk = pm._seg_index_map(nplan.trunk_plan)[1]
+    h, posts = pm._fwd_layers_trig_t(nplan.trunk_plan, pts, trig_p,
+                                     w_refs[:n_trunk],
+                                     keep_hidden=True)
+    bott = pm._kdot(w_refs[n_trunk + 2][:], h) + w_refs[n_trunk + 3][:]
+    _, h0 = _rgb_branch_fwd(nplan, w_refs, n_trunk + 4, bott, trig_v,
+                            views, keep_hidden=True)
+    d_rgb = drgb_ref[:]
+    d_sigma = dsigma_ref[:]
+    # rgb layer 1 (acts[1] assumed linear in the reference config; act
+    # backward kept for generality via post values)
+    i = n_trunk + 4 + (4 if tv else 3)  # index of rgb1 w
+    # recompute rgb post only if its act is nonlinear
+    if nplan.rgb_acts[1] not in (None, 'none'):
+        rgb_post = pm._act(nplan.rgb_acts[1],
+                           pm._kdot(w_refs[i][:], h0) + w_refs[i + 1][:])
+        d_rgb = pm._act_bwd(nplan.rgb_acts[1], rgb_post, d_rgb)
+    dwb_refs[i][:] += pm._kdot_nt(d_rgb, h0)
+    dwb_refs[i + 1][:] += jnp.sum(d_rgb, axis=1, keepdims=True)
+    d_h0 = pm._kdot_tn(w_refs[i][:], d_rgb)
+    d_pre0 = pm._act_bwd(nplan.rgb_acts[0], h0, d_h0)
+    j = n_trunk + 4
+    dwb_refs[j][:] += pm._kdot_nt(d_pre0, bott)
+    d_bott = pm._kdot_tn(w_refs[j][:], d_pre0)
+    j += 1
+    if tv:
+        dwb_refs[j][:] += pm._kdot_nt(d_pre0, trig_v)
+        j += 1
+    dwb_refs[j][:] += pm._kdot_nt(d_pre0, views)
+    dwb_refs[j + 1][:] += jnp.sum(d_pre0, axis=1, keepdims=True)
+    # bottleneck (linear) and sigma head (linear) both feed d_h
+    dwb_refs[n_trunk + 2][:] += pm._kdot_nt(d_bott, h)
+    dwb_refs[n_trunk + 3][:] += jnp.sum(d_bott, axis=1, keepdims=True)
+    dwb_refs[n_trunk][:] += pm._kdot_nt(d_sigma, h)
+    dwb_refs[n_trunk + 1][:] += jnp.sum(d_sigma, axis=1, keepdims=True)
+    d_h = pm._kdot_tn(w_refs[n_trunk + 2][:], d_bott) \
+        + pm._kdot_tn(w_refs[n_trunk][:], d_sigma)
+    pm._bwd_layers_trig_t(nplan.trunk_plan, pts, trig_p,
+                          w_refs[:n_trunk], dwb_refs[:n_trunk], posts,
+                          d_h, needs_dx=False)
+
+
+def _pick_block(nplan, backward=False):
+    import os
+    env = os.environ.get(
+        'NERFACTOR_NERF_BLOCK_BWD' if backward
+        else 'NERFACTOR_NERF_BLOCK_FWD')
+    if env:
+        return int(env)
+    pad8 = lambda d: max(8, -(-d) // 8 * 8)
+    w = max(pad8(x) for x in nplan.trunk_plan.widths)
+    tp = pad8(pm.trig_dim(nplan.trunk_plan))
+    tvd = pad8(pm.trig_dim(_view_plan(nplan)))
+    depth = len(nplan.trunk_plan.widths)
+    if backward:
+        feats = tp + tvd + (depth + 7) * w \
+            + pad8(nplan.rgb_widths[0]) * 3 + 64
+    else:
+        feats = tp + tvd + 4 * w + 64
+    budget = 8 * 1024 * 1024
+    for block in (4096, 2048, 1024, 512, 256):
+        if feats * block * 4 <= budget:
+            return block
+    return 128
+
+
+def _trig_mats_for(plan):
+    a, p = pm._trig_mats(plan)
+    return jnp.asarray(a.T), jnp.asarray(p.reshape(-1, 1))
+
+
+def _forward(nplan, pts, views, params, with_stash=False):
+    n = pts.shape[0]
+    block = pm._clamp_block(_pick_block(nplan), n)
+    ptst = pm._pad_cols(pts.T, block)
+    viewst = pm._pad_cols(views.T, block)
+    grid = ptst.shape[1] // block
+    tv = pm.trig_dim(_view_plan(nplan))
+    tp = pm.trig_dim(nplan.trunk_plan)
+    mats = list(_trig_mats_for(nplan.trunk_plan))
+    if tv:
+        mats += list(_trig_mats_for(_view_plan(nplan)))
+    flat = _flatten_nerf_params_t(nplan, *params)
+    in_specs = [pm._col_spec(3, block), pm._col_spec(3, block)]
+    in_specs += [pm._full_spec(m.shape) for m in mats]
+    in_specs += [pm._full_spec(arr.shape) for arr in flat]
+    out_specs = [pm._col_spec(3, block), pm._col_spec(1, block)]
+    out_shapes = [
+        jax.ShapeDtypeStruct((3, ptst.shape[1]), jnp.float32),
+        jax.ShapeDtypeStruct((1, ptst.shape[1]), jnp.float32)]
+    if with_stash:
+        sd = pm.KERNEL_MATMUL_DTYPE or jnp.float32
+        out_specs.append(pm._col_spec(tp, block))
+        out_shapes.append(
+            jax.ShapeDtypeStruct((tp, ptst.shape[1]), sd))
+        if tv:
+            out_specs.append(pm._col_spec(tv, block))
+            out_shapes.append(
+                jax.ShapeDtypeStruct((tv, ptst.shape[1]), sd))
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel, nplan, with_stash),
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=pm.INTERPRET,
+    )(ptst, viewst, *mats, *flat)
+    rgb, sigma = outs[0][:, :n].T, outs[1][:, :n].T
+    stash = tuple(outs[2:]) if with_stash else None
+    return rgb, sigma, stash
+
+
+def _backward(nplan, pts, views, params, drgb, dsigma, stash):
+    n = pts.shape[0]
+    block = pm._clamp_block(_pick_block(nplan, backward=True), n)
+    ptst = pm._pad_cols(pts.T, block)
+    viewst = pm._pad_cols(views.T, block)
+    drgbt = pm._pad_cols(drgb.T, block)
+    dsigmat = pm._pad_cols(dsigma.T, block)
+    grid = ptst.shape[1] // block
+    tv = pm.trig_dim(_view_plan(nplan))
+    tp = pm.trig_dim(nplan.trunk_plan)
+    stashes = [pm._pad_cols(s[:, :n], block) for s in stash]
+    flat = _flatten_nerf_params_t(nplan, *params)
+    in_specs = [pm._col_spec(3, block), pm._col_spec(3, block),
+                pm._col_spec(3, block), pm._col_spec(1, block),
+                pm._col_spec(tp, block)]
+    if tv:
+        in_specs.append(pm._col_spec(tv, block))
+    in_specs += [pm._full_spec(arr.shape) for arr in flat]
+    out_specs = [pm._full_spec(arr.shape) for arr in flat]
+    out_shapes = [jax.ShapeDtypeStruct(arr.shape, jnp.float32)
+                  for arr in flat]
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, nplan),
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=pm.INTERPRET,
+    )(ptst, viewst, drgbt, dsigmat, *stashes, *flat)
+    return _unflatten_nerf_dparams_t(nplan, outs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _nerf_fused(nplan, pts, views, params):
+    rgb, sigma, _ = _forward(nplan, pts, views, params)
+    return rgb, sigma
+
+
+def _nerf_fused_fwd(nplan, pts, views, params):
+    rgb, sigma, stash = _forward(nplan, pts, views, params,
+                                 with_stash=True)
+    return (rgb, sigma), (pts, views, params, stash)
+
+
+def _nerf_fused_bwd(nplan, res, cot):
+    pts, views, params, stash = res
+    drgb, dsigma = cot
+    dparams = _backward(nplan, pts, views, params, drgb, dsigma, stash)
+    # pts/views are data (no gradients flow into ray geometry at train
+    # time); declared by construction, like apply_chain(needs_dx=False)
+    return jnp.zeros_like(pts), jnp.zeros_like(views), tuple(dparams)
+
+
+_nerf_fused.defvjp(_nerf_fused_fwd, _nerf_fused_bwd)
+
+
+def nerf_reference(nplan, pts, views, params, compute_dtype=None):
+    """Pure-JAX oracle with identical math (mirrors
+    models/nerf.py:eval_nerf_at for use_views=True)."""
+    trunk, sigma_p, bott_p, rgb_p = params
+    ev = pm._embed(_view_plan(nplan), views)
+    feat = pm.chain_reference(nplan.trunk_plan, pts, trunk,
+                              compute_dtype=compute_dtype)
+    (ws, bs), = sigma_p
+    (wb, bb), = bott_p
+    sigma = feat @ ws + bs
+    bott = feat @ wb + bb
+    h = jnp.concatenate([bott, ev], axis=1)
+    for (w, b), act in zip(rgb_p, nplan.rgb_acts):
+        h = pm._act(act, h @ w + b)
+    return h, sigma
+
+
+def apply_nerf(nplan, pts, views, params, force_reference=False,
+               compute_dtype=None):
+    """(N, 3), (N, 3) -> (rgb (N, 3), sigma (N, 1)).
+
+    ``params`` = (trunk, sigma, bottleneck, rgb) lists of (w, b).
+    Dispatches to the fused kernel on TPU, reference JAX otherwise.
+    """
+    params = tuple([(w, b) for w, b in group] for group in params)
+    if force_reference or (jax.default_backend() != 'tpu'
+                           and not pm.INTERPRET):
+        return nerf_reference(nplan, pts, views, params,
+                              compute_dtype=compute_dtype)
+    return _nerf_fused(nplan, pts, views, tuple(params))

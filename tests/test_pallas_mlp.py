@@ -181,6 +181,32 @@ def test_needs_dx_false_weight_grads_match(plan):
 
 
 @pytest.mark.parametrize('plan', PLANS[:2])
+def test_needs_dw_false_input_grads_match(plan):
+    """needs_dw=False (frozen-net differentiation, e.g. the sigma-
+    gradient normal pass) must keep dx identical and return zero
+    weight cotangents."""
+    params = make_params(plan, seed=13)
+    x = jnp.asarray(np.random.RandomState(13).randn(
+        70, pm.raw_dim(plan)), jnp.float32)
+    co = jnp.asarray(np.random.RandomState(14).randn(
+        70, pm.out_dim(plan)), jnp.float32)
+
+    def loss(needs_dw):
+        return lambda x_, p_: jnp.sum(
+            pm._fused_chain(plan, x_, p_, needs_dw=needs_dw) * co)
+
+    gx_t, gp_t = jax.grad(loss(True), argnums=(0, 1))(x, params)
+    gx_f, gp_f = jax.grad(loss(False), argnums=(0, 1))(x, params)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_t),
+                               rtol=1e-5, atol=1e-6)
+    if pm.TRANSPOSED_BOUNDARY:
+        assert all(np.all(np.asarray(l) == 0.0)
+                   for l in jax.tree_util.tree_leaves(gp_f))
+    assert any(np.any(np.asarray(l) != 0.0)
+               for l in jax.tree_util.tree_leaves(gp_t))
+
+
+@pytest.mark.parametrize('plan', PLANS[:2])
 def test_kernel_bf16_matmul_tolerance(plan):
     """The TPU-default bf16 MXU passes stay within bf16 tolerance of the
     f32 reference (phases of the trig embedding remain exact f32)."""
