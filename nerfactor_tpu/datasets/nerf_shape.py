@@ -25,6 +25,16 @@ class Dataset(BaseDataset):
     def __init__(self, config, mode, debug=False, always_all_rays=False,
                  spp=1, seed=0):
         self.meta2buf = {}
+        # Host->device TRANSFER dtype for the (rays, n_lights) lvis
+        # targets: float16 halves the dominant batch payload (the
+        # bottleneck at 512px on tunneled TPUs); the jitted steps upcast
+        # to f32 on device (parallel/train.py upcast_batch). Values are
+        # in [0, 1], so f16 costs ~1e-3 absolute on the targets.
+        self.lvis_transfer_dtype = np.dtype(config.get(
+            'lvis_transfer_dtype', fallback='float32'))
+        assert self.lvis_transfer_dtype in (
+            np.dtype(np.float32), np.dtype(np.float16)), \
+            "lvis_transfer_dtype must be float32 or float16"
         super().__init__(config, mode, debug=debug,
                          always_all_rays=always_all_rays, spp=spp, seed=seed)
 
@@ -141,7 +151,8 @@ class Dataset(BaseDataset):
                          ('lvis', data['lvis'].shape[2])):
                 out[k] = flat(k, d)
             out['lvis'] = np.clip(
-                np.asarray(out['lvis'], np.float32), 0.0, 1.0)
+                np.asarray(out['lvis'], np.float32), 0.0,
+                1.0).astype(self.lvis_transfer_dtype)
             return out
         # Training: sample only foreground rays; lvis rows materialize
         # only AFTER selection (lvis may be a 512 MB memory map)
@@ -154,5 +165,6 @@ class Dataset(BaseDataset):
                      ('lvis', data['lvis'].shape[2])):
             out[k] = flat(k, d)[sel]
         out['lvis'] = np.clip(
-            np.asarray(out['lvis'], np.float32), 0.0, 1.0)
+            np.asarray(out['lvis'], np.float32), 0.0,
+            1.0).astype(self.lvis_transfer_dtype)
         return out

@@ -30,13 +30,22 @@ def batch_sharding(mesh):
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def stacked_batch_sharding(mesh):
+    """For scan-stacked batches (step, rows, ...): rows live on axis 1;
+    the step axis is unsharded (each device walks all steps)."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
 def replicated_sharding(mesh):
     return NamedSharding(mesh, P())
 
 
-def shard_batch(arrays, mesh):
+def shard_batch(arrays, mesh, stacked=False):
     """Device-puts a dict of host arrays, sharding each leading axis over
     the 'data' axis when divisible (replicating otherwise, e.g. scalars).
+
+    ``stacked=True`` is for scan-stacked batches with a leading step
+    axis: the ROW axis (axis 1) is sharded instead.
 
     Multi-process (multi-host) meshes: each process passes its LOCAL
     batch; rows from all hosts concatenate along the global 'data' axis
@@ -44,16 +53,18 @@ def shard_batch(arrays, mesh):
     n_hosts x the per-host batch, mirroring how the reference's
     MirroredStrategy would scale if it were multi-worker.
     """
-    data = batch_sharding(mesh)
+    data = stacked_batch_sharding(mesh) if stacked \
+        else batch_sharding(mesh)
     repl = replicated_sharding(mesh)
     multiproc = jax.process_count() > 1
     n_local = mesh.local_mesh.devices.size if multiproc \
         else mesh.devices.size
+    row_axis = 1 if stacked else 0
 
     def pick(x):
         x = np.asarray(x)
-        shardable = x.ndim >= 1 and x.shape[0] > 0 \
-            and x.shape[0] % max(n_local, 1) == 0
+        shardable = x.ndim >= row_axis + 1 and x.shape[row_axis] > 0 \
+            and x.shape[row_axis] % max(n_local, 1) == 0
         return data if shardable else repl
 
     if multiproc:

@@ -60,6 +60,18 @@ def build_optimizer(config):
     return optax.chain(*transforms)
 
 
+def upcast_batch(arrays):
+    """Device-side upcast of reduced-precision TRANSFER dtypes: the
+    input pipeline may ship large batch leaves (e.g. the (rays, 512)
+    lvis targets) as float16 to halve host->device traffic -- the
+    bottleneck at 512px on tunneled-TPU environments. Inside the jitted
+    step everything computes in f32 as before; the cast fuses into the
+    first consumer."""
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32)
+        if a.dtype in (jnp.float16, jnp.bfloat16) else a, arrays)
+
+
 def make_train_step(model, optimizer, trainable_mask=None):
     """Returns jitted (params, opt_state, arrays, key) -> (params,
     opt_state, loss).
@@ -71,6 +83,8 @@ def make_train_step(model, optimizer, trainable_mask=None):
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, arrays, key):
+        arrays = upcast_batch(arrays)
+
         def loss_fn(p):
             pred, gt, loss_kwargs, _ = model.apply(
                 p, arrays, mode='train', key=key)
@@ -102,6 +116,8 @@ def make_train_step_scan(model, optimizer, trainable_mask=None,
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def train_steps(params, opt_state, stacked_arrays, key):
+        stacked_arrays = upcast_batch(stacked_arrays)
+
         def body(carry, inp):
             params, opt_state = carry
             arrays, step_i = inp
@@ -137,6 +153,7 @@ def make_eval_step(model, mode='vali', **apply_kwargs):
 
     @jax.jit
     def eval_step(params, arrays, key):
+        arrays = upcast_batch(arrays)
         pred, gt, loss_kwargs, to_vis = model.apply(
             params, arrays, mode=mode, key=key, **apply_kwargs)
         per_example = model.compute_loss(params, pred, gt, **loss_kwargs)

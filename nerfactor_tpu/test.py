@@ -17,6 +17,7 @@ import jax
 import numpy as np
 
 from nerfactor_tpu import datasets, models
+from nerfactor_tpu.parallel.train import upcast_batch
 from nerfactor_tpu.utils import config as configutil, io as ioutil
 from nerfactor_tpu.utils import ckpt as ckptutil
 from nerfactor_tpu.utils.logging import Logger
@@ -150,6 +151,7 @@ def main(argv=None):
 
     def make_step(relight_olat):
         def f(p, arrays, albedo_override):
+            arrays = upcast_batch(arrays)
             _, _, _, to_vis = model.apply(
                 p, arrays, mode='test', relight_olat=relight_olat,
                 relight_probes=True, albedo_scales=albedo_scales,

@@ -13,7 +13,9 @@ Differences by design (TPU-first):
 
 import argparse
 import os
+import queue
 import shutil
+import threading
 from collections import deque
 from os.path import join, dirname
 from time import time
@@ -24,7 +26,8 @@ import numpy as np
 from nerfactor_tpu import datasets, models
 from nerfactor_tpu.parallel import mesh as meshlib
 from nerfactor_tpu.parallel.train import (
-    build_optimizer, make_train_step, make_eval_step)
+    build_optimizer, make_train_step, make_train_step_scan,
+    make_eval_step)
 from nerfactor_tpu.utils import config as configutil, io as ioutil
 from nerfactor_tpu.utils.ckpt import CheckpointManager
 from nerfactor_tpu.utils.logging import Logger
@@ -101,21 +104,97 @@ def split_batch(dataset, batch):
     return meta, arrays
 
 
-def device_batches(dataset, datapipe, dmesh):
-    """(meta, device_arrays) iterator with one-batch lookahead: the
-    host->device transfer of batch N+1 (async under jax.device_put)
-    overlaps the device step on batch N -- prefetch-to-device, the
-    tf.data `prefetch` parity the reference gets from its input
-    pipeline (datasets/base.py:84-114 there)."""
-    prev = None
-    for batch in datapipe:
-        meta, arrays = split_batch(dataset, batch)
-        arrays = meshlib.shard_batch(arrays, dmesh)
-        if prev is not None:
-            yield prev
-        prev = (meta, arrays)
-    if prev is not None:
-        yield prev
+def device_batches(dataset, datapipe, dmesh, lookahead=3, group=1,
+                   n_epochs=1):
+    """Iterator of (n_steps, metas, device_arrays, epoch_done) fed by a
+    background thread: host batch assembly AND the host->device
+    transfers of the next ``lookahead`` items overlap the device step
+    on the current one -- prefetch-to-device, the tf.data `prefetch`
+    parity the reference gets from its input pipeline
+    (datasets/base.py:84-114 there). On this environment's tunneled TPU
+    the transfer is network IO, which the thread overlaps even on a
+    single-core host (device_put releases the GIL during the socket
+    work).
+
+    ``group`` > 1 stacks that many host batches along a new leading
+    step axis and transfers them as ONE put (for lax.scan multi-step
+    dispatch, which amortizes the per-dispatch host overhead that
+    dominates the step on this tunneled single-core environment).
+    Leftover batches (n % group) are yielded singly with n_steps=1.
+
+    ``n_epochs`` passes over ``datapipe`` stream from ONE persistent
+    producer, so the lookahead spans epoch boundaries -- the next
+    epoch's transfers overlap the current epoch's sync/checkpoint work
+    (essential when grouping leaves only one item per epoch). The last
+    item of each pass carries epoch_done=True.
+    """
+    q = queue.Queue(maxsize=lookahead)
+    stop = threading.Event()
+    sentinel = object()
+    err = []
+
+    def put(item):
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def worker():
+        try:
+            for _ in range(n_epochs):
+                if stop.is_set():
+                    return
+                pending = None  # one-item lag to tag the epoch's last
+                pend = []
+                for batch in datapipe:
+                    pend.append(split_batch(dataset, batch))
+                    if group <= 1 or len(pend) == group:
+                        item = _emit(pend, dmesh, group)
+                        pend = []
+                        if pending is not None and \
+                                not put(pending + (False,)):
+                            return
+                        pending = item
+                for one in pend:  # remainder: single-step items
+                    item = _emit([one], dmesh, 1)
+                    if pending is not None and \
+                            not put(pending + (False,)):
+                        return
+                    pending = item
+                assert pending is not None, "Dataset is empty"
+                if not put(pending + (True,)):
+                    return
+        except BaseException as e:  # surfaced on the consumer side
+            err.append(e)
+        finally:
+            put(sentinel)
+
+    thread = threading.Thread(target=worker, daemon=True)
+    thread.start()
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()  # unblock the producer if the consumer bails early
+
+
+def _emit(pend, dmesh, group):
+    metas = [m for m, _ in pend]
+    if group <= 1 or len(pend) == 1:
+        arrays = meshlib.shard_batch(pend[0][1], dmesh)
+        return 1, metas, arrays
+    stacked = {k: np.stack([a[k] for _, a in pend])
+               for k in pend[0][1]}
+    return len(pend), metas, meshlib.shard_batch(stacked, dmesh,
+                                                 stacked=True)
 
 
 def maintain_epoch_queue(queue, new_epoch_dir):
@@ -204,6 +283,20 @@ def main(argv=None):
         trainable_mask = trainable_mask(params)
     train_step = make_train_step(model, optimizer,
                                  trainable_mask=trainable_mask)
+    # Multi-step dispatch: lax.scan over scan_steps stacked batches per
+    # dispatch. The device step is ~14 ms while each dispatch costs
+    # ~25 ms of host/tunnel overhead on this environment (measured;
+    # single-core host), so grouping is the difference between host-
+    # and device-bound at reference scale. 1 disables (and --debug
+    # forces 1: it breaks after the first batch).
+    scan_steps = config.getint('scan_steps', fallback=1)
+    if args.debug:
+        scan_steps = 1
+    train_step_scan = None
+    if scan_steps > 1:
+        train_step_scan = make_train_step_scan(
+            model, optimizer, trainable_mask=trainable_mask,
+            n_steps=scan_steps)
     vali_step = make_eval_step(model, mode='vali')
 
     writer_train = SummaryWriter(join(outdir, 'summary_train',
@@ -230,6 +323,14 @@ def main(argv=None):
     step = step_restored
     period_t0 = time()
     period_batches = 0
+    # One persistent producer across ALL epochs (lookahead spans epoch
+    # boundaries); debug mode breaks mid-epoch, so it gets a fresh
+    # single-epoch producer per epoch instead
+    batches_iter = None
+    if not args.debug and epochs > step_restored:
+        batches_iter = device_batches(
+            dataset_train, datapipe_train, dmesh, group=scan_steps,
+            n_epochs=epochs - step_restored)
     for _ in range(step_restored, epochs):
         # ------ Train on all batches of this epoch ------
         # Losses stay ON DEVICE: per-step float()s would force a device
@@ -239,16 +340,24 @@ def main(argv=None):
         # at checkpoint boundaries.
         batch_loss = []
         n_batches = 0
-        for _, arrays in device_batches(dataset_train, datapipe_train,
-                                        dmesh):
+        epoch_iter = batches_iter if batches_iter is not None else \
+            device_batches(dataset_train, datapipe_train, dmesh,
+                           group=scan_steps)
+        for n_steps, _, arrays, epoch_done in epoch_iter:
             key, step_key = jax.random.split(key)
-            params, opt_state, loss = train_step(
-                params, opt_state, arrays, step_key)
-            batch_loss.append(loss)
-            n_batches += 1
+            if n_steps > 1:
+                params, opt_state, losses = train_step_scan(
+                    params, opt_state, arrays, step_key)
+                loss = losses[-1]
+                batch_loss.append(losses)
+            else:
+                params, opt_state, loss = train_step(
+                    params, opt_state, arrays, step_key)
+                batch_loss.append(loss)
+            n_batches += n_steps
             if profile_left > 0:
-                profile_left -= 1
-                if profile_left == 0:
+                profile_left -= n_steps
+                if profile_left <= 0:
                     jax.profiler.stop_trace()
                     logger.info("Profiler trace written")
             if args.debug:
@@ -258,11 +367,14 @@ def main(argv=None):
                     "Loss went non-finite: %r" % float(loss)
                 logger.warn("Debug mode: skipping the rest of this epoch")
                 break
+            if epoch_done:
+                break
         assert n_batches, "Dataset is empty"
         # Backpressure: one scalar readback per epoch keeps the host
         # from enqueuing unboundedly far ahead of the device -- and
         # doubles as a per-epoch NaN guard
-        last_loss = float(batch_loss[-1])
+        last_loss = float(np.atleast_1d(
+            jax.device_get(batch_loss[-1]))[-1])
         assert np.isfinite(last_loss), \
             "Loss went non-finite at epoch %d: %r" % (step + 1, last_loss)
         step += 1
@@ -271,7 +383,8 @@ def main(argv=None):
         # ------ Checkpoint + train summaries (host 0 only) ------
         if step % ckpt_period == 0 and is_lead:
             # Full sync: losses of THIS epoch + wall time of the period
-            batch_loss = [float(l) for l in jax.device_get(batch_loss)]
+            batch_loss = list(np.hstack([
+                np.atleast_1d(l) for l in jax.device_get(batch_loss)]))
             elapsed = time() - period_t0
             saved = ckptmanager.save(
                 step, {'params': jax.device_get(params),

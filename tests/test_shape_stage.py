@@ -104,18 +104,20 @@ def test_lvis_memmap_lazy_loading(tmp_path):
     assert data['lvis'].dtype == np.float16
     rng = np.random.default_rng(0)
     batch = ds._postprocess(data, rng)
-    assert batch['lvis'].dtype == np.float32
+    # shape.ini ships lvis at its configured transfer dtype (f16 by
+    # default; the jitted steps upcast on device)
+    assert batch['lvis'].dtype == ds.lvis_transfer_dtype
     assert batch['lvis'].shape == (16, 8)  # bs x n_lights
     assert batch['lvis'].min() >= 0 and batch['lvis'].max() <= 1
     # Every sampled row must be an actual (f16-rounded) row of the
     # original f32 buffer
     ref_rows = np.clip(lv32.reshape(-1, 8).astype(np.float16)
                        .astype(np.float32), 0.0, 1.0)
-    for row in batch['lvis']:
-        assert (np.abs(ref_rows - row).max(axis=1) < 1e-7).any()
+    for row in batch['lvis'].astype(np.float32):
+        assert (np.abs(ref_rows - row).max(axis=1) < 1e-3).any()
     # Full-image vali path materializes and clips
     ds_v = Dataset(configutil.Config(parser), 'vali')
     data_v = ds_v._load_one(ds_v.files[0])
     batch_v = ds_v._postprocess(data_v, rng)
-    assert batch_v['lvis'].dtype == np.float32
+    assert batch_v['lvis'].dtype == ds_v.lvis_transfer_dtype
     assert batch_v['lvis'].shape == (64, 8)
