@@ -383,9 +383,32 @@ class Model(ShapeModel):
     def _forward_rays(self, params, xyz, rayo, normal_init, lvis_init,
                       albedo_scales=None, albedo_override=None,
                       brdf_z_override=None, relight_olat=False,
-                      relight_probes=False):
+                      relight_probes=False, jitter_noise=None):
         """Full reflectance forward for a block of rays; dense, static
-        shapes (the reference's nerfactor.py:181-313 minus masking)."""
+        shapes (the reference's nerfactor.py:181-313 minus masking).
+
+        ``jitter_noise`` (train only): the smoothness probes at
+        ``xyz + jitter_noise`` (reference nerfactor.py:198-201) ride
+        the SAME fused kernel calls as the main rows -- each head whose
+        smoothness weight is nonzero evaluates once on 2N stacked rows
+        instead of twice on N (halves per-call overhead on the N*L
+        lvis chain, the step's dominant cost). Jitter outputs land in
+        the returned dict under ``*_jitter`` keys."""
+        n = xyz.shape[0]
+        jit = jitter_noise is not None
+        jit_shape = jit and self.shape_mode != 'nerf'
+        jit_normal = jit_shape and self.normal_smooth_weight > 0
+        jit_lvis = jit_shape and self.lvis_smooth_weight > 0
+        jit_albedo = jit and self.albedo_smooth_weight > 0
+        jit_brdf = jit and self.pred_brdf and self.brdf_smooth_weight > 0
+        if jit:
+            xyz_j = xyz + jitter_noise
+            xyz_all = jnp.concatenate([xyz, xyz_j], axis=0)
+
+        def stacked(twin_on):
+            return xyz_all if twin_on else xyz
+
+        out = {}
         surf2l = self.calc_ldir(xyz)  # (N,L,3)
         surf2c = self.calc_vdir(rayo, xyz)  # (N,3)
         if self.shape_mode == 'nerf':
@@ -393,16 +416,33 @@ class Model(ShapeModel):
             # 0 visibility in all directions leads to problematic gradients
             lvis_pred = jnp.clip(lvis_init, 1e-8, 1.0)
         else:
-            normal_pred = self.pred_normal_at(params, xyz)
-            lvis_pred = self.pred_lvis_at(params, xyz, surf2l)
+            normal_all = self.pred_normal_at(params, stacked(jit_normal))
+            normal_pred = normal_all[:n]
+            if jit_normal:
+                out['normal_jitter'] = safe_l2_normalize(
+                    normal_all[n:], axis=1)
+            surf2l_in = jnp.concatenate(
+                [surf2l, self.calc_ldir(xyz_j)], axis=0) if jit_lvis \
+                else surf2l
+            lvis_all = self.pred_lvis_at(params, stacked(jit_lvis),
+                                         surf2l_in)
+            lvis_pred = lvis_all[:n]
+            if jit_lvis:
+                out['lvis_jitter'] = lvis_all[n:]
         normal_pred = safe_l2_normalize(normal_pred, axis=1)
-        albedo = self.pred_albedo_at(params, xyz)
+        albedo_all = self.pred_albedo_at(params, stacked(jit_albedo))
+        albedo = albedo_all[:n]
+        if jit_albedo:
+            out['albedo_jitter'] = albedo_all[n:]
         if albedo_scales is not None:
             albedo = albedo_scales.reshape(1, 3) * albedo
         if albedo_override is not None:
             albedo = jnp.broadcast_to(albedo_override, albedo.shape)
         if self.pred_brdf:
-            brdf_prop = self.pred_brdf_at(params, xyz)
+            brdf_all = self.pred_brdf_at(params, stacked(jit_brdf))
+            brdf_prop = brdf_all[:n]
+            if jit_brdf:
+                out['brdf_prop_jitter'] = brdf_all[n:]
         else:
             brdf_prop = self.default_brdf_at(xyz)
         if brdf_z_override is not None:
@@ -413,31 +453,13 @@ class Model(ShapeModel):
         rgb_pred, rgb_olat, rgb_probes = self.render(
             params, lvis_pred, brdf, surf2l, normal_pred,
             relight_olat=relight_olat, relight_probes=relight_probes)
-        out = {'rgb': rgb_pred, 'normal': normal_pred, 'lvis': lvis_pred,
-               'albedo': albedo, 'brdf': brdf_prop}
+        out.update({'rgb': rgb_pred, 'normal': normal_pred,
+                    'lvis': lvis_pred, 'albedo': albedo,
+                    'brdf': brdf_prop})
         if rgb_olat is not None:
             out['rgb_olat'] = rgb_olat
         if rgb_probes is not None:
             out['rgb_probes'] = rgb_probes
-        return out
-
-    def _forward_jitter(self, params, xyz, noise):
-        """Smoothness probes at jittered positions: only the heads whose
-        smoothness weights are nonzero are re-evaluated."""
-        out = {}
-        xyz_noisy = xyz + noise
-        if self.shape_mode != 'nerf':
-            if self.normal_smooth_weight > 0:
-                out['normal_jitter'] = safe_l2_normalize(
-                    self.pred_normal_at(params, xyz_noisy), axis=1)
-            if self.lvis_smooth_weight > 0:
-                surf2l = self.calc_ldir(xyz_noisy)
-                out['lvis_jitter'] = self.pred_lvis_at(
-                    params, xyz_noisy, surf2l)
-        if self.albedo_smooth_weight > 0:
-            out['albedo_jitter'] = self.pred_albedo_at(params, xyz_noisy)
-        if self.pred_brdf and self.brdf_smooth_weight > 0:
-            out['brdf_prop_jitter'] = self.pred_brdf_at(params, xyz_noisy)
         return out
 
     def apply(self, params, batch, mode='train', key=None,
@@ -449,6 +471,11 @@ class Model(ShapeModel):
         rayo = batch['rayo']
         rgb = batch['rgb']
 
+        jitter_noise = None
+        if mode == 'train' and self.xyz_jitter_std > 0 and key is not None:
+            jitter_noise = self.xyz_jitter_std * jax.random.normal(
+                key, xyz.shape)
+
         def forward(tree):
             return self._forward_rays(
                 params, tree['xyz'], tree['rayo'], tree['normal'],
@@ -459,16 +486,23 @@ class Model(ShapeModel):
 
         inputs = {'xyz': xyz, 'rayo': rayo, 'normal': normal, 'lvis': lvis}
         if mode == 'train':
-            out = forward(inputs)
+            out = self._forward_rays(
+                params, xyz, rayo, normal, lvis,
+                albedo_scales=albedo_scales,
+                albedo_override=albedo_override,
+                brdf_z_override=brdf_z_override,
+                relight_olat=relight_olat, relight_probes=relight_probes,
+                jitter_noise=jitter_noise)
         else:
             out = chunked_apply_tree(forward, inputs, self.eval_ray_chunk)
 
         loss_kwargs = {'mode': mode, 'normal_jitter': None,
                        'lvis_jitter': None, 'albedo_jitter': None,
                        'brdf_prop_jitter': None}
-        if mode == 'train' and self.xyz_jitter_std > 0 and key is not None:
-            noise = self.xyz_jitter_std * jax.random.normal(key, xyz.shape)
-            loss_kwargs.update(self._forward_jitter(params, xyz, noise))
+        for k in ('normal_jitter', 'lvis_jitter', 'albedo_jitter',
+                  'brdf_prop_jitter'):
+            if k in out:
+                loss_kwargs[k] = out.pop(k)
 
         pred = {'rgb': out['rgb'], 'normal': out['normal'],
                 'lvis': out['lvis'], 'albedo': out['albedo'],

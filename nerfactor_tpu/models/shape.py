@@ -210,21 +210,35 @@ class Model(BaseModel):
             return {'normal': self.pred_normal_at(params, pts),
                     'lvis': self.pred_lvis_at(params, pts, surf2l)}
 
+        # Smoothness probes at jittered positions ride the SAME fused
+        # kernel calls as the main rows (twin-merged: one 2N-row
+        # dispatch per head instead of two N-row ones); heads whose
+        # smoothness weight is zero skip the twin entirely
+        normal_jitter, lvis_jitter = None, None
+        jitter = (mode == 'train' and self.xyz_jitter_std > 0
+                  and key is not None)
+        jit_normal = jitter and self.normal_smooth_weight > 0
+        jit_lvis = jitter and self.lvis_smooth_weight > 0
+        n = xyz.shape[0]
         if mode == 'train':
-            out = forward(xyz)
+            if jitter:
+                noise = self.xyz_jitter_std * jax.random.normal(
+                    key, xyz.shape)
+                xyz_all = jnp.concatenate([xyz, xyz + noise], axis=0)
+            normal_all = self.pred_normal_at(
+                params, xyz_all if jit_normal else xyz)
+            lvis_in = xyz_all if jit_lvis else xyz
+            lvis_all = self.pred_lvis_at(
+                params, lvis_in, self.calc_ldir(lvis_in))
+            out = {'normal': normal_all[:n], 'lvis': lvis_all[:n]}
+            if jit_normal:
+                normal_jitter = safe_l2_normalize(normal_all[n:], axis=1)
+            if jit_lvis:
+                lvis_jitter = lvis_all[n:]
         else:
             out = self._forward_chunked(forward, xyz, self.eval_ray_chunk)
         normal_pred = safe_l2_normalize(out['normal'], axis=1)
         lvis_pred = out['lvis']
-        # Smoothness probes at jittered positions
-        normal_jitter, lvis_jitter = None, None
-        if mode == 'train' and self.xyz_jitter_std > 0 and key is not None:
-            noise = self.xyz_jitter_std * jax.random.normal(key, xyz.shape)
-            out_j = forward(xyz + noise)
-            if self.normal_smooth_weight > 0:
-                normal_jitter = safe_l2_normalize(out_j['normal'], axis=1)
-            if self.lvis_smooth_weight > 0:
-                lvis_jitter = out_j['lvis']
         pred = {'normal': normal_pred, 'lvis': lvis_pred}
         gt = {'normal': normal, 'lvis': lvis, 'alpha': alpha}
         loss_kwargs = {'normal_jitter': normal_jitter,

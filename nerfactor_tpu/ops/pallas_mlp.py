@@ -1218,9 +1218,9 @@ def _fwd_layers_trig_t(plan, x, trig, w_refs, keep_hidden=False):
     return h, posts
 
 
-def _fwd_kernel_trig_t(plan, with_stash, x_ref, *refs):
+def _fwd_kernel_trig_t(plan, with_stash, use_ladder, x_ref, *refs):
     t = trig_dim(plan)
-    if t:
+    if t and not use_ladder:
         a_ref, p_ref = refs[0], refs[1]
         refs = refs[2:]
     if with_stash and t:
@@ -1230,7 +1230,9 @@ def _fwd_kernel_trig_t(plan, with_stash, x_ref, *refs):
         y_ref = refs[-1]
         w_refs = refs[:-1]
     x = x_ref[:]
-    if t:
+    if t and use_ladder:
+        trig = _trig_ladder(plan, x).astype(_stash_dtype())
+    elif t:
         # Phase must be exact: A^T @ x in f32 (freqs reach 2**(f-1))
         xf = jnp.dot(a_ref[:], x, preferred_element_type=jnp.float32) \
             + p_ref[:]
@@ -1334,7 +1336,10 @@ def _pick_block_cols_t(plan, backward=False):
         feats = 2 * t + (len(plan.widths) + 5) * maxw + 2 * raw + 64
     else:
         feats = t + 3 * maxw + raw + 64
-    budget = 8 * 1024 * 1024
+    # 14 MB of the 16 MB VMEM (measured, v5e, lvis-scale 128x4 chain:
+    # fwd 2048 -> 4096 and bwd 1024 -> 2048 cut the isolated
+    # fwd+bwd chain 5.9 -> 5.0 ms wall; fwd 8192 fails to fit)
+    budget = 14 * 1024 * 1024
     for block in (8192, 4096, 2048, 1024, 512, 256):
         if feats * block * 4 <= budget:
             return block
@@ -1366,6 +1371,37 @@ def _trig_mats_t(plan):
     return jnp.asarray(a.T), jnp.asarray(p.reshape(-1, 1))
 
 
+# Forward-kernel trig via double-angle recurrences: posenc frequencies
+# are exactly 2^j, so sin/cos at octave j+1 follow from octave j with
+# two multiplies and an fma -- 2 transcendentals per raw dim instead of
+# 2*n_freqs (the VPU sin over the full (T, block) tensor is a measured
+# chunk of the forward: t=84 -> t=12 cut the isolated fwd 3.25 ->
+# 2.5 ms wall at 524288 rows). Error doubles per octave (~2^f ulp),
+# matching the inherent f32 range-reduction error of sin(2^f x) --
+# equivalent accuracy to the phase-matmul form. False falls back to
+# sin(x @ A + P).
+TRIG_LADDER = True
+
+
+def _trig_ladder(plan, x):
+    """(raw, block) f32 -> (T, block): per part [sins freq-major |
+    coss freq-major], the exact row order of _trig_mats/trig_perm."""
+    out = []
+    row0 = 0
+    for d, f in plan.embed_parts:
+        if f:
+            xi = x[row0:row0 + d, :]
+            s, c = jnp.sin(xi), jnp.cos(xi)
+            sins, coss = [s], [c]
+            for _ in range(1, f):
+                s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
+                sins.append(s)
+                coss.append(c)
+            out.extend(sins + coss)
+        row0 += d
+    return jnp.concatenate(out, axis=0) if len(out) > 1 else out[0]
+
+
 def _pallas_forward_trig_t(plan, x, params, with_stash=False):
     n = x.shape[0]
     t = trig_dim(plan)
@@ -1373,7 +1409,8 @@ def _pallas_forward_trig_t(plan, x, params, with_stash=False):
     block = _clamp_block(_pick_block_cols_t(plan), n)
     xt = _pad_cols(x.T, block)
     grid = xt.shape[1] // block
-    ap = list(_trig_mats_t(plan)) if t else []
+    use_ladder = TRIG_LADDER
+    ap = list(_trig_mats_t(plan)) if (t and not use_ladder) else []
     flat = _flatten_params_t(plan, params)
     in_specs = [_col_spec(raw_dim(plan), block)]
     in_specs += [_full_spec(arr.shape) for arr in ap]
@@ -1386,7 +1423,8 @@ def _pallas_forward_trig_t(plan, x, params, with_stash=False):
         out_shapes.append(jax.ShapeDtypeStruct(
             (t, xt.shape[1]), KERNEL_MATMUL_DTYPE or jnp.float32))
     outs = pl.pallas_call(
-        functools.partial(_fwd_kernel_trig_t, plan, with_stash),
+        functools.partial(_fwd_kernel_trig_t, plan, with_stash,
+                          use_ladder),
         grid=(grid,),
         in_specs=in_specs,
         out_specs=out_specs if with_stash else out_specs[0],

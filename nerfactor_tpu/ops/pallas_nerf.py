@@ -133,11 +133,13 @@ def _rgb_branch_fwd(nplan, w_refs, base, bott_post, trig_v, views,
     return rgb, h0
 
 
-def _fwd_kernel(nplan, with_stash, pts_ref, views_ref, *refs):
-    ap_ref, pp_ref = refs[0], refs[1]
-    refs = refs[2:]
+def _fwd_kernel(nplan, with_stash, use_ladder, pts_ref, views_ref,
+                *refs):
+    if not use_ladder:
+        ap_ref, pp_ref = refs[0], refs[1]
+        refs = refs[2:]
     tv = pm.trig_dim(_view_plan(nplan))
-    if tv:
+    if tv and not use_ladder:
         av_ref, pv_ref = refs[0], refs[1]
         refs = refs[2:]
     n_w = _n_refs(nplan)
@@ -145,15 +147,22 @@ def _fwd_kernel(nplan, with_stash, pts_ref, views_ref, *refs):
     outs = refs[n_w:]
     rgb_ref, sigma_ref = outs[0], outs[1]
     pts, views = pts_ref[:], views_ref[:]
-    xf = jnp.dot(ap_ref[:], pts,
-                 preferred_element_type=jnp.float32) + pp_ref[:]
-    trig_p = jnp.sin(xf).astype(pm._stash_dtype())
-    if tv:
-        vf = jnp.dot(av_ref[:], views,
-                     preferred_element_type=jnp.float32) + pv_ref[:]
-        trig_v = jnp.sin(vf).astype(pm._stash_dtype())
+    if use_ladder:
+        # Double-angle recurrences (see pallas_mlp._trig_ladder)
+        trig_p = pm._trig_ladder(nplan.trunk_plan, pts).astype(
+            pm._stash_dtype())
+        trig_v = pm._trig_ladder(_view_plan(nplan), views).astype(
+            pm._stash_dtype()) if tv else None
     else:
-        trig_v = None
+        xf = jnp.dot(ap_ref[:], pts,
+                     preferred_element_type=jnp.float32) + pp_ref[:]
+        trig_p = jnp.sin(xf).astype(pm._stash_dtype())
+        if tv:
+            vf = jnp.dot(av_ref[:], views,
+                         preferred_element_type=jnp.float32) + pv_ref[:]
+            trig_v = jnp.sin(vf).astype(pm._stash_dtype())
+        else:
+            trig_v = None
     n_trunk = pm._seg_index_map(nplan.trunk_plan)[1]
     h, _ = pm._fwd_layers_trig_t(nplan.trunk_plan, pts, trig_p,
                                  w_refs[:n_trunk])
@@ -267,9 +276,12 @@ def _forward(nplan, pts, views, params, with_stash=False):
     grid = ptst.shape[1] // block
     tv = pm.trig_dim(_view_plan(nplan))
     tp = pm.trig_dim(nplan.trunk_plan)
-    mats = list(_trig_mats_for(nplan.trunk_plan))
-    if tv:
-        mats += list(_trig_mats_for(_view_plan(nplan)))
+    use_ladder = pm.TRIG_LADDER
+    mats = []
+    if not use_ladder:
+        mats = list(_trig_mats_for(nplan.trunk_plan))
+        if tv:
+            mats += list(_trig_mats_for(_view_plan(nplan)))
     flat = _flatten_nerf_params_t(nplan, *params)
     in_specs = [pm._col_spec(3, block), pm._col_spec(3, block)]
     in_specs += [pm._full_spec(m.shape) for m in mats]
@@ -288,7 +300,7 @@ def _forward(nplan, pts, views, params, with_stash=False):
             out_shapes.append(
                 jax.ShapeDtypeStruct((tv, ptst.shape[1]), sd))
     outs = pl.pallas_call(
-        functools.partial(_fwd_kernel, nplan, with_stash),
+        functools.partial(_fwd_kernel, nplan, with_stash, use_ladder),
         grid=(grid,),
         in_specs=in_specs,
         out_specs=out_specs,

@@ -347,3 +347,66 @@ def test_color_correct_albedo(nerfactor_run):
     if not np.allclose(np.asarray(scales), 1.0, atol=1e-3):
         assert not np.array_equal(before, after), \
             "Color correction did not change the albedo output"
+
+
+def test_jitter_twin_merge_matches_direct_eval(pipeline):
+    """The twin-merged smoothness probes (one stacked 2N-row pass per
+    head) must equal evaluating each head directly at xyz + noise."""
+    import jax
+    import jax.numpy as jnp
+    from nerfactor_tpu.models import get_model_class
+    from nerfactor_tpu.ops.math import safe_l2_normalize
+    parser = configutil.read_config(
+        configutil.resolve_config_path('nerfactor.ini'))
+    configutil.apply_override(
+        parser, _nerfactor_override(pipeline, join(pipeline['out'], 'tw')))
+    config = configutil.Config(parser)
+    model = get_model_class('nerfactor')(config)
+    assert model.xyz_jitter_std > 0
+    assert model.normal_smooth_weight > 0
+    assert model.lvis_smooth_weight > 0
+    assert model.albedo_smooth_weight > 0
+    assert model.brdf_smooth_weight > 0
+    params = model.init_params(jax.random.PRNGKey(3))
+    rng = np.random.RandomState(1)
+    n, n_lights = 8, model.n_lights
+    xyz = rng.randn(n, 3).astype(np.float32)
+    xyz /= np.linalg.norm(xyz, axis=1, keepdims=True)
+    batch = {
+        'rayo': xyz + 4 * np.abs(rng.randn(n, 3)).astype(np.float32),
+        'rayd': np.zeros((n, 3), np.float32),
+        'rgb': rng.rand(n, 3).astype(np.float32),
+        'alpha': np.ones((n, 1), np.float32),
+        'xyz': xyz,
+        'normal': xyz.copy(),
+        'lvis': rng.rand(n, n_lights).astype(np.float32),
+    }
+    key = jax.random.PRNGKey(7)
+    pred, _, loss_kwargs, _ = model.apply(
+        params, batch, mode='train', key=key)
+    # Recompute the probes directly (same noise stream as apply)
+    noise = model.xyz_jitter_std * jax.random.normal(key, xyz.shape)
+    xyz_j = jnp.asarray(xyz) + noise
+    normal_j = safe_l2_normalize(
+        model.pred_normal_at(params, xyz_j), axis=1)
+    lvis_j = model.pred_lvis_at(params, xyz_j, model.calc_ldir(xyz_j))
+    albedo_j = model.pred_albedo_at(params, xyz_j)
+    brdf_j = model.pred_brdf_at(params, xyz_j)
+    np.testing.assert_allclose(
+        np.asarray(loss_kwargs['normal_jitter']), np.asarray(normal_j),
+        rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(loss_kwargs['lvis_jitter']), np.asarray(lvis_j),
+        rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(loss_kwargs['albedo_jitter']), np.asarray(albedo_j),
+        rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(loss_kwargs['brdf_prop_jitter']), np.asarray(brdf_j),
+        rtol=1e-5, atol=1e-5)
+    # The main-row outputs are the unstacked halves
+    main_normal = safe_l2_normalize(
+        model.pred_normal_at(params, jnp.asarray(xyz)), axis=1)
+    np.testing.assert_allclose(
+        np.asarray(pred['normal']), np.asarray(main_normal),
+        rtol=1e-5, atol=1e-5)

@@ -121,3 +121,50 @@ def test_lvis_memmap_lazy_loading(tmp_path):
     batch_v = ds_v._postprocess(data_v, rng)
     assert batch_v['lvis'].dtype == ds_v.lvis_transfer_dtype
     assert batch_v['lvis'].shape == (64, 8)
+
+
+def test_shape_jitter_twin_merge_matches_direct_eval(shape_run):
+    """The twin-merged smoothness probes (one stacked 2N-row pass per
+    head) must equal evaluating each head directly at xyz + noise."""
+    import jax
+    import jax.numpy as jnp
+    from nerfactor_tpu.models import get_model_class
+    from nerfactor_tpu.utils import config as configutil
+    from nerfactor_tpu.ops.math import safe_l2_normalize
+    outdir = join(shape_run, 'lr1e-2')
+    parser = configutil.read_config(outdir + '.ini')
+    config = configutil.Config(parser)
+    model = get_model_class('shape')(config)
+    assert model.xyz_jitter_std > 0
+    assert model.normal_smooth_weight > 0
+    assert model.lvis_smooth_weight > 0
+    params = model.init_params(jax.random.PRNGKey(2))
+    rng = np.random.RandomState(0)
+    n = 8
+    xyz = rng.randn(n, 3).astype(np.float32)
+    batch = {
+        'rayo': xyz + 4.0, 'rayd': np.zeros((n, 3), np.float32),
+        'rgb': rng.rand(n, 3).astype(np.float32),
+        'alpha': np.ones((n, 1), np.float32),
+        'xyz': xyz, 'normal': xyz.copy(),
+        'lvis': rng.rand(n, model.n_lights).astype(np.float32),
+    }
+    key = jax.random.PRNGKey(5)
+    pred, _, loss_kwargs, _ = model.apply(
+        params, batch, mode='train', key=key)
+    noise = model.xyz_jitter_std * jax.random.normal(key, xyz.shape)
+    xyz_j = jnp.asarray(xyz) + noise
+    normal_j = safe_l2_normalize(
+        model.pred_normal_at(params, xyz_j), axis=1)
+    lvis_j = model.pred_lvis_at(params, xyz_j, model.calc_ldir(xyz_j))
+    np.testing.assert_allclose(
+        np.asarray(loss_kwargs['normal_jitter']), np.asarray(normal_j),
+        rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(loss_kwargs['lvis_jitter']), np.asarray(lvis_j),
+        rtol=1e-5, atol=1e-5)
+    main_lvis = model.pred_lvis_at(
+        params, jnp.asarray(xyz), model.calc_ldir(jnp.asarray(xyz)))
+    np.testing.assert_allclose(
+        np.asarray(pred['lvis']), np.asarray(main_lvis),
+        rtol=1e-5, atol=1e-5)
