@@ -1280,9 +1280,10 @@ def _bwd_layers_trig_t(plan, x, trig, w_refs, dwb_refs, posts, d_h,
     return d_x, d_trig
 
 
-def _bwd_kernel_trig_t(plan, needs_dx, needs_dw, x_ref, dy_ref, *refs):
+def _bwd_kernel_trig_t(plan, needs_dx, needs_dw, use_ladder, x_ref,
+                       dy_ref, *refs):
     t = trig_dim(plan)
-    if t:
+    if t and not use_ladder:
         trig_ref = refs[0]
         refs = refs[1:]
     if needs_dx and t:
@@ -1303,19 +1304,35 @@ def _bwd_kernel_trig_t(plan, needs_dx, needs_dw, x_ref, dy_ref, *refs):
             r[:] = jnp.zeros(r.shape, r.dtype)
 
     x = x_ref[:]
-    trig = trig_ref[:] if t else None  # forward-pass stash
+    cosxf = None
+    if t and use_ladder:
+        # Recompute the trig embedding via the ladder instead of
+        # reading a forward-pass stash from HBM (saves the (T, N)
+        # stash write+read entirely); cos(xf) for the dx branch falls
+        # out of the same recurrences
+        if needs_dx:
+            trig, cosxf = _trig_ladder(plan, x, with_cos=True)
+        else:
+            trig = _trig_ladder(plan, x)
+        trig = trig.astype(_stash_dtype())
+    elif t:
+        trig = trig_ref[:]  # forward-pass stash
+    else:
+        trig = None
     _, posts = _fwd_layers_trig_t(plan, x, trig, w_refs,
                                   keep_hidden=True)
     d_x, d_trig = _bwd_layers_trig_t(
         plan, x, trig, w_refs, dwb_refs, posts, dy_ref[:],
         needs_dx, needs_dw=needs_dw)
     if needs_dx:
-        if t:
+        if t and cosxf is None:
             # cos(xf) only feeds dx: recompute the cheap f32 phase
             # matmul instead of stashing it in the forward
             xf = jnp.dot(a_ref[:], x,
                          preferred_element_type=jnp.float32) + p_ref[:]
-            d_x = d_x + _f32_tn(a_ref[:], d_trig * jnp.cos(xf))
+            cosxf = jnp.cos(xf)
+        if t:
+            d_x = d_x + _f32_tn(a_ref[:], d_trig * cosxf)
         dx_ref[:] = d_x
 
 
@@ -1383,10 +1400,15 @@ def _trig_mats_t(plan):
 TRIG_LADDER = True
 
 
-def _trig_ladder(plan, x):
+def _trig_ladder(plan, x, with_cos=False):
     """(raw, block) f32 -> (T, block): per part [sins freq-major |
-    coss freq-major], the exact row order of _trig_mats/trig_perm."""
-    out = []
+    coss freq-major], the exact row order of _trig_mats/trig_perm.
+
+    ``with_cos`` additionally returns cos(xf) in the same row order
+    (i.e. per part [coss | -sins], since the 'cos' rows are
+    sin(2^j x + pi/2)) -- the input-cotangent branch needs it and the
+    ladder provides it with no extra transcendentals."""
+    out, cos_out = [], []
     row0 = 0
     for d, f in plan.embed_parts:
         if f:
@@ -1398,14 +1420,23 @@ def _trig_ladder(plan, x):
                 sins.append(s)
                 coss.append(c)
             out.extend(sins + coss)
+            if with_cos:
+                cos_out.extend(coss + [-s for s in sins])
         row0 += d
-    return jnp.concatenate(out, axis=0) if len(out) > 1 else out[0]
+    trig = jnp.concatenate(out, axis=0) if len(out) > 1 else out[0]
+    if not with_cos:
+        return trig
+    cosxf = jnp.concatenate(cos_out, axis=0) if len(cos_out) > 1 \
+        else cos_out[0]
+    return trig, cosxf
 
 
 def _pallas_forward_trig_t(plan, x, params, with_stash=False):
     n = x.shape[0]
     t = trig_dim(plan)
-    with_stash = with_stash and t > 0
+    # Ladder mode: the backward recomputes trig in-kernel, so no stash
+    # is written (or returned) at all
+    with_stash = with_stash and t > 0 and not TRIG_LADDER
     block = _clamp_block(_pick_block_cols_t(plan), n)
     xt = _pad_cols(x.T, block)
     grid = xt.shape[1] // block
@@ -1444,8 +1475,9 @@ def _pallas_backward_trig_t(plan, x, params, dy, trig, needs_dx,
     xt = _pad_cols(x.T, block)
     dyt = _pad_cols(dy.T, block)
     grid = xt.shape[1] // block
+    use_ladder = TRIG_LADDER
     extras = []
-    if t:
+    if t and not use_ladder:
         # Forward stash may carry a different column padding
         extras.append(_pad_cols(trig[:, :n], block))
     if needs_dx and t:
@@ -1453,7 +1485,7 @@ def _pallas_backward_trig_t(plan, x, params, dy, trig, needs_dx,
     flat = _flatten_params_t(plan, params)
     in_specs = [_col_spec(raw_dim(plan), block),
                 _col_spec(out_dim(plan), block)]
-    if t:
+    if t and not use_ladder:
         in_specs.append(_col_spec(t, block))
     if needs_dx and t:
         in_specs += [_full_spec(arr.shape) for arr in extras[-2:]]
@@ -1469,7 +1501,8 @@ def _pallas_backward_trig_t(plan, x, params, dy, trig, needs_dx,
             out_shapes.append(
                 jax.ShapeDtypeStruct(arr.shape, jnp.float32))
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel_trig_t, plan, needs_dx, needs_dw),
+        functools.partial(_bwd_kernel_trig_t, plan, needs_dx, needs_dw,
+                          use_ladder),
         grid=(grid,),
         in_specs=in_specs,
         out_specs=out_specs,

@@ -178,15 +178,17 @@ def _fwd_kernel(nplan, with_stash, use_ladder, pts_ref, views_ref,
             outs[3][:] = trig_v
 
 
-def _bwd_kernel(nplan, pts_ref, views_ref, drgb_ref, dsigma_ref, *refs):
+def _bwd_kernel(nplan, use_ladder, pts_ref, views_ref, drgb_ref,
+                dsigma_ref, *refs):
     tv = pm.trig_dim(_view_plan(nplan))
-    trig_p = refs[0][:]
-    refs = refs[1:]
-    if tv:
-        trig_v = refs[0][:]
+    if not use_ladder:
+        trig_p = refs[0][:]
         refs = refs[1:]
-    else:
-        trig_v = None
+        if tv:
+            trig_v = refs[0][:]
+            refs = refs[1:]
+        else:
+            trig_v = None
     n_w = _n_refs(nplan)
     w_refs = refs[:n_w]
     dwb_refs = refs[n_w:]
@@ -197,6 +199,12 @@ def _bwd_kernel(nplan, pts_ref, views_ref, drgb_ref, dsigma_ref, *refs):
             r[:] = jnp.zeros(r.shape, r.dtype)
 
     pts, views = pts_ref[:], views_ref[:]
+    if use_ladder:
+        # Stash-free: recompute the trig embeddings via the ladder
+        trig_p = pm._trig_ladder(nplan.trunk_plan, pts).astype(
+            pm._stash_dtype())
+        trig_v = pm._trig_ladder(_view_plan(nplan), views).astype(
+            pm._stash_dtype()) if tv else None
     n_trunk = pm._seg_index_map(nplan.trunk_plan)[1]
     h, posts = pm._fwd_layers_trig_t(nplan.trunk_plan, pts, trig_p,
                                      w_refs[:n_trunk],
@@ -270,6 +278,9 @@ def _trig_mats_for(plan):
 
 def _forward(nplan, pts, views, params, with_stash=False):
     n = pts.shape[0]
+    # Ladder mode: the backward recomputes trig in-kernel, stash-free
+    if pm.TRIG_LADDER:
+        with_stash = False
     block = pm._clamp_block(_pick_block(nplan), n)
     ptst = pm._pad_cols(pts.T, block)
     viewst = pm._pad_cols(views.T, block)
@@ -322,19 +333,22 @@ def _backward(nplan, pts, views, params, drgb, dsigma, stash):
     grid = ptst.shape[1] // block
     tv = pm.trig_dim(_view_plan(nplan))
     tp = pm.trig_dim(nplan.trunk_plan)
-    stashes = [pm._pad_cols(s[:, :n], block) for s in stash]
+    use_ladder = pm.TRIG_LADDER
+    stashes = [] if use_ladder else \
+        [pm._pad_cols(s[:, :n], block) for s in stash]
     flat = _flatten_nerf_params_t(nplan, *params)
     in_specs = [pm._col_spec(3, block), pm._col_spec(3, block),
-                pm._col_spec(3, block), pm._col_spec(1, block),
-                pm._col_spec(tp, block)]
-    if tv:
-        in_specs.append(pm._col_spec(tv, block))
+                pm._col_spec(3, block), pm._col_spec(1, block)]
+    if not use_ladder:
+        in_specs.append(pm._col_spec(tp, block))
+        if tv:
+            in_specs.append(pm._col_spec(tv, block))
     in_specs += [pm._full_spec(arr.shape) for arr in flat]
     out_specs = [pm._full_spec(arr.shape) for arr in flat]
     out_shapes = [jax.ShapeDtypeStruct(arr.shape, jnp.float32)
                   for arr in flat]
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, nplan),
+        functools.partial(_bwd_kernel, nplan, use_ladder),
         grid=(grid,),
         in_specs=in_specs,
         out_specs=out_specs,

@@ -12,23 +12,28 @@ from nerfactor_tpu.models import networks
 from nerfactor_tpu.ops import encoding, pallas_mlp as pm
 
 
-@pytest.fixture(autouse=True, params=[True, False],
-                ids=['transposed', 'rowmajor'])
+@pytest.fixture(autouse=True,
+                params=[(True, True), (True, False), (False, False)],
+                ids=['transposed-ladder', 'transposed-stash', 'rowmajor'])
 def interpret_mode(request):
     pm.INTERPRET = True
     # Exactness tests run the kernels at f32 (on TPU the kernels default
     # to bf16 MXU passes; a dedicated test covers that tolerance).
     # Both boundary orientations (transposed = compact custom-call
     # layouts, the TPU default; row-major = the legacy kernels) must
-    # match the reference.
+    # match the reference, with the transposed kernels in both trig
+    # modes (ladder = stash-free double-angle recurrences, the TPU
+    # default; stash = sin(x@A+P) with a forward stash).
     old = pm.KERNEL_MATMUL_DTYPE
     old_t = pm.TRANSPOSED_BOUNDARY
+    old_l = pm.TRIG_LADDER
     pm.KERNEL_MATMUL_DTYPE = None
-    pm.TRANSPOSED_BOUNDARY = request.param
+    pm.TRANSPOSED_BOUNDARY, pm.TRIG_LADDER = request.param
     yield
     pm.INTERPRET = False
     pm.KERNEL_MATMUL_DTYPE = old
     pm.TRANSPOSED_BOUNDARY = old_t
+    pm.TRIG_LADDER = old_l
 
 
 def make_params(plan, seed=0, scale=0.3):

@@ -11,14 +11,18 @@ from nerfactor_tpu.ops import pallas_mlp as pm
 from nerfactor_tpu.ops import pallas_nerf as pn
 
 
-@pytest.fixture(autouse=True)
-def interpret_mode():
+@pytest.fixture(autouse=True, params=[True, False],
+                ids=['ladder', 'stash'])
+def interpret_mode(request):
     pm.INTERPRET = True
     old = pm.KERNEL_MATMUL_DTYPE
+    old_l = pm.TRIG_LADDER
     pm.KERNEL_MATMUL_DTYPE = None
+    pm.TRIG_LADDER = request.param
     yield
     pm.INTERPRET = False
     pm.KERNEL_MATMUL_DTYPE = old
+    pm.TRIG_LADDER = old_l
 
 
 PLANS = [
