@@ -121,11 +121,14 @@ class GeometryDistiller:
         # Visibility-march blocks want to be LARGE: measured on v5e at
         # 96px/512 lights, marching 4096 surface points takes 177 s at
         # 1 point/block (dispatch-bound) vs 27.5 s at 36 points/block
-        # (saturated). 4*mlp_chunk sample rows per block ~= 4 GB of
-        # peak layer activations at the default mlp_chunk -- the march
-        # is eval-only, so this fits comfortably; shrink mlp_chunk on
-        # OOM (reference guidance, nerfactor/README.md:119).
-        self.pair_block = max(256, 4 * args.mlp_chunk // max(
+        # (saturated). At full nerf.ini scale (256x8 MLP, 320 samples)
+        # the multiplier was re-measured: 8*mlp_chunk (50 points/block)
+        # runs 13.1 -> 10.4 s per 4096 points x 512 dirs vs 4*, with
+        # 16* only marginally better (10.0 s) -- 8* keeps HBM headroom
+        # (the march is eval-only bf16; peak activations ~= a few GB at
+        # the default mlp_chunk). Shrink mlp_chunk on OOM (reference
+        # guidance, nerfactor/README.md:119).
+        self.pair_block = max(256, 8 * args.mlp_chunk // max(
             self.n_coarse + self.n_fine, 1))
         self._depth_normal_block = jax.jit(self._depth_normal_block_fn)
         self._lvis_block = jax.jit(self._lvis_block_fn)
