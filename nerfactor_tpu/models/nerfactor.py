@@ -63,6 +63,10 @@ class Model(ShapeModel):
         if self.shape_mode in ('frozen', 'finetune'):
             self.config_shape = self._load_sub_config(self.shape_model_ckpt)
         super().__init__(config, debug=debug)
+        if self.shape_mode == 'frozen':
+            # Shape MLPs get zero updates (trainable_mask): their fused
+            # backwards skip all dW/db accumulation
+            self.shape_heads_need_dw = False
         # ------ Reflectance / lighting hyperparameters
         self.albedo_smooth_weight = config.getfloat('albedo_smooth_weight')
         self.brdf_smooth_weight = config.getfloat('brdf_smooth_weight')
@@ -330,9 +334,14 @@ class Model(ShapeModel):
             brdf_prop[:, None, :], (n, l, self.z_dim)).reshape(
                 -1, self.z_dim)
         z_rusink_raw = jnp.concatenate((z_flat, rusink), axis=1)
+        # The BRDF prior is ALWAYS frozen in the joint model
+        # (trainable_mask, reference nerfactor.py:60): needs_dw=False
+        # lets the fused backward skip all dW/db accumulation and keep
+        # only the input-cotangent branch (z + rusink gradients)
         spec_flat = self._chain(params, 'brdf_mlp', 'brdf_out',
                                 self.plans['brdf'], z_rusink_raw,
-                                compute_dtype=self.big_chain_dtype)
+                                compute_dtype=self.big_chain_dtype,
+                                needs_dw=False)
         # Zero out back-lit directions (local cos = ldir_z <= 0)
         front_lit = ldir_flat[:, 2:] > 0
         spec = jnp.where(front_lit, spec_flat, 0.0).reshape(n, l, 1)

@@ -44,6 +44,11 @@ class Model(BaseModel):
                                                fallback=False)
         self.xyz_jitter_std = config.getfloat('xyz_jitter_std', fallback=0.0)
         self.xyz_scale = config.getfloat('xyz_scale', fallback=1.0)
+        # The joint model sets this False when shape_mode='frozen': the
+        # normal/lvis chains then skip all dW/db work in their fused
+        # backward (their weights get zero updates via trainable_mask
+        # anyway)
+        self.shape_heads_need_dw = True
         self.pos_enc = config.getboolean('pos_enc')
         self.n_freqs_xyz = config.getint('n_freqs_xyz')
         self.n_freqs_ldir = config.getint('n_freqs_ldir')
@@ -122,15 +127,18 @@ class Model(BaseModel):
                 self.specs['lvis_mlp'], self.specs['lvis_out'])
 
     def _chain(self, params, mlp_name, out_name, plan, x_raw,
-               compute_dtype=None, needs_dx=True):
+               compute_dtype=None, needs_dx=True, needs_dw=True):
         """One fused embed->MLP->head evaluation. ``needs_dx=False``
         (inputs are data, e.g. xyz/surf2l) lets the fused kernel skip
-        the input-cotangent branch of its backward."""
+        the input-cotangent branch of its backward; ``needs_dw=False``
+        (frozen weights, e.g. the joint model's BRDF prior) skips all
+        dW/db accumulation."""
         p = pallas_mlp.params_from_tree(params[mlp_name],
                                         params[out_name])
         return pallas_mlp.apply_chain(
             plan, x_raw, p, force_reference=not self.fused_mlp,
-            compute_dtype=compute_dtype, needs_dx=needs_dx)
+            compute_dtype=compute_dtype, needs_dx=needs_dx,
+            needs_dw=needs_dw)
 
     def init_params(self, key):
         params = {}
@@ -164,7 +172,8 @@ class Model(BaseModel):
         pts_scaled = self.xyz_scale * pts
         normal = self._chain(params, 'normal_mlp', 'normal_out',
                              self.plans['normal'], pts_scaled,
-                             needs_dx=False)
+                             needs_dx=False,
+                             needs_dw=self.shape_heads_need_dw)
         # eps avoids all-zero normals producing zero tangents downstream
         return normal + eps
 
@@ -183,7 +192,8 @@ class Model(BaseModel):
         lvis = self._chain(params, 'lvis_mlp', 'lvis_out',
                            self.plans['lvis'], x_raw,
                            compute_dtype=self.big_chain_dtype,
-                           needs_dx=False)
+                           needs_dx=False,
+                           needs_dw=self.shape_heads_need_dw)
         return lvis.reshape(n, l)
 
     def _forward_chunked(self, fn, pts, chunk):

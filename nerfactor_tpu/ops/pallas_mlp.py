@@ -1554,6 +1554,12 @@ def _fused_chain_impl_fwd(plan, needs_dx, needs_dw, transposed, x,
 def _fused_chain_impl_bwd(plan, needs_dx, needs_dw, transposed, res,
                           dy):
     x, params, trig = res
+    if not needs_dx and not needs_dw:
+        # Fully frozen chain feeding no trainable inputs (e.g. the
+        # joint model's shape MLPs under shape_mode='frozen'): no
+        # backward kernel at all
+        return jnp.zeros_like(x), [
+            (jnp.zeros_like(w), jnp.zeros_like(b)) for w, b in params]
     if _last_skip(plan):
         dx, dparams = _pallas_backward(plan, x, params, dy)
         return dx, dparams
