@@ -11,7 +11,7 @@ matmul chain (no mlp_chunk loops); reciprocity doubles the batch instead
 of a second pass.
 """
 
-from os.path import join, basename
+from os.path import join, basename, exists
 
 import jax
 import jax.numpy as jnp
@@ -169,6 +169,18 @@ class Model(BaseModel):
             spp=int(data_dict['spp']))
         cslice_shape = merl.cube_rusink.shape[1:]
         cslice_end_i = int(np.prod(cslice_shape[:2]))
+        n_render = int(renderer.lvis.astype(bool).sum())
+        if pred.shape[0] != cslice_end_i + n_render:
+            # Test set does not follow the reference's
+            # [characteristic-slice rows | sphere-render rows] layout
+            # (merl/make_dataset.py:54-69 there) -- e.g. a synthetic
+            # rusink grid. The bar charts above still apply; skip the
+            # slice/render images instead of crashing on the reshape.
+            logger.warn(
+                "Test rusink rows (%d) != cslice+render layout (%d+%d);"
+                " skipping slice/render visualization",
+                pred.shape[0], cslice_end_i, n_render)
+            return
         pred_cslice = pred[:cslice_end_i, :]
         cslice = pred_cslice.reshape(cslice_shape[:2])
         cslice_img = merl.characteristic_slice_as_img(cslice)
@@ -195,10 +207,16 @@ class Model(BaseModel):
             rowcaps = ["Metadata", "Latent Code", "BRDF (log-scale)"]
             rowtypes = ['text', 'image', 'image']
             if mode == 'test':
-                row += [join(batch_dir, 'cslice.png'),
-                        join(batch_dir, 'render.png')]
-                rowcaps += ["Pred. (char. slice)", "Pred. (render)"]
-                rowtypes += ['image', 'image']
+                # Absent when the test set lacks the cslice+render
+                # layout (see vis_batch)
+                for png, cap in ((join(batch_dir, 'cslice.png'),
+                                  "Pred. (char. slice)"),
+                                 (join(batch_dir, 'render.png'),
+                                  "Pred. (render)")):
+                    if exists(png):
+                        row.append(png)
+                        rowcaps.append(cap)
+                        rowtypes.append('image')
             rows.append(row)
             caps.append(rowcaps)
             types.append(rowtypes)
