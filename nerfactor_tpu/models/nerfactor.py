@@ -34,6 +34,7 @@ from nerfactor_tpu.ops import encoding
 from nerfactor_tpu.ops import geom as geomops
 from nerfactor_tpu.ops import img as imgops
 from nerfactor_tpu.ops import pallas_mlp
+from nerfactor_tpu.ops import pallas_rusink
 from nerfactor_tpu.ops.chunk import chunked_apply_tree
 from nerfactor_tpu.ops.light import make_olat_envmaps, vis_light, load_light
 from nerfactor_tpu.ops.math import safe_l2_normalize
@@ -67,6 +68,10 @@ class Model(ShapeModel):
             # Shape MLPs get zero updates (trainable_mask): their fused
             # backwards skip all dW/db accumulation
             self.shape_heads_need_dw = False
+        # In-kernel dir2rusink for the frozen BRDF chain
+        # (ops/pallas_rusink.py). Not a reference key.
+        self.fused_rusink = config.getboolean('fused_rusink',
+                                              fallback=False)
         # ------ Reflectance / lighting hyperparameters
         self.albedo_smooth_weight = config.getfloat('albedo_smooth_weight')
         self.brdf_smooth_weight = config.getfloat('brdf_smooth_weight')
@@ -329,19 +334,29 @@ class Model(ShapeModel):
         ldir_flat = ldir.reshape(-1, 3)
         vdir_flat = jnp.broadcast_to(
             vdir[:, None, :], (n, l, 3)).reshape(-1, 3)
-        rusink = geomops.dir2rusink(ldir_flat, vdir_flat)  # (NL,3)
         z_flat = jnp.broadcast_to(
             brdf_prop[:, None, :], (n, l, self.z_dim)).reshape(
                 -1, self.z_dim)
-        z_rusink_raw = jnp.concatenate((z_flat, rusink), axis=1)
         # The BRDF prior is ALWAYS frozen in the joint model
         # (trainable_mask, reference nerfactor.py:60): needs_dw=False
         # lets the fused backward skip all dW/db accumulation and keep
         # only the input-cotangent branch (z + rusink gradients)
-        spec_flat = self._chain(params, 'brdf_mlp', 'brdf_out',
-                                self.plans['brdf'], z_rusink_raw,
-                                compute_dtype=self.big_chain_dtype,
-                                needs_dw=False)
+        if self.fused_rusink and self.fused_mlp and self.pos_enc_rusink:
+            # dir2rusink computed INSIDE the chain kernel (forward and
+            # hand-derived safe-gradient backward); avoids the (N*L,)
+            # XLA trig fusions + boundary copies (ops/pallas_rusink.py)
+            p = pallas_mlp.params_from_tree(params['brdf_mlp'],
+                                            params['brdf_out'])
+            spec_flat = pallas_rusink.apply_rusink_chain(
+                self.plans['brdf'], z_flat, ldir_flat, vdir_flat, p,
+                compute_dtype=self.big_chain_dtype)
+        else:
+            rusink = geomops.dir2rusink(ldir_flat, vdir_flat)  # (NL,3)
+            z_rusink_raw = jnp.concatenate((z_flat, rusink), axis=1)
+            spec_flat = self._chain(params, 'brdf_mlp', 'brdf_out',
+                                    self.plans['brdf'], z_rusink_raw,
+                                    compute_dtype=self.big_chain_dtype,
+                                    needs_dw=False)
         # Zero out back-lit directions (local cos = ldir_z <= 0)
         front_lit = ldir_flat[:, 2:] > 0
         spec = jnp.where(front_lit, spec_flat, 0.0).reshape(n, l, 1)

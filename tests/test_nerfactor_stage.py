@@ -410,3 +410,50 @@ def test_jitter_twin_merge_matches_direct_eval(pipeline):
     np.testing.assert_allclose(
         np.asarray(pred['normal']), np.asarray(main_normal),
         rtol=1e-5, atol=1e-5)
+
+
+def test_fused_rusink_matches_default_path(pipeline):
+    """fused_rusink=True (in-kernel dir2rusink, interpret mode) must
+    reproduce the default path's forward and loss."""
+    import jax
+    from nerfactor_tpu.models import get_model_class
+    from nerfactor_tpu.ops import pallas_mlp as pm
+    parser = configutil.read_config(
+        configutil.resolve_config_path('nerfactor.ini'))
+    configutil.apply_override(
+        parser, _nerfactor_override(pipeline, join(pipeline['out'], 'fr')))
+    config = configutil.Config(parser)
+    model0 = get_model_class('nerfactor')(config)
+    configutil.apply_override(parser, 'fused_rusink=True')
+    model1 = get_model_class('nerfactor')(configutil.Config(parser))
+    assert model1.fused_rusink and not model0.fused_rusink
+    params = model0.init_params(jax.random.PRNGKey(3))
+    rng = np.random.RandomState(2)
+    n, n_lights = 8, model0.n_lights
+    xyz = rng.randn(n, 3).astype(np.float32)
+    xyz /= np.linalg.norm(xyz, axis=1, keepdims=True)
+    batch = {
+        'rayo': xyz + 4 * np.abs(rng.randn(n, 3)).astype(np.float32),
+        'rayd': np.zeros((n, 3), np.float32),
+        'rgb': rng.rand(n, 3).astype(np.float32),
+        'alpha': np.ones((n, 1), np.float32),
+        'xyz': xyz, 'normal': xyz.copy(),
+        'lvis': rng.rand(n, n_lights).astype(np.float32),
+    }
+    key = jax.random.PRNGKey(11)
+    old_i, old_d = pm.INTERPRET, pm.KERNEL_MATMUL_DTYPE
+    pm.INTERPRET, pm.KERNEL_MATMUL_DTYPE = True, None
+    try:
+        pred0, gt0, kw0, _ = model0.apply(params, batch, mode='train',
+                                          key=key)
+        pred1, gt1, kw1, _ = model1.apply(params, batch, mode='train',
+                                          key=key)
+        loss0 = model0.compute_loss(params, pred0, gt0, **kw0)
+        loss1 = model1.compute_loss(params, pred1, gt1, **kw1)
+    finally:
+        pm.INTERPRET, pm.KERNEL_MATMUL_DTYPE = old_i, old_d
+    np.testing.assert_allclose(np.asarray(pred1['rgb']),
+                               np.asarray(pred0['rgb']),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(loss1), np.asarray(loss0),
+                               rtol=2e-4, atol=2e-4)
