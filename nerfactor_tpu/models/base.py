@@ -43,6 +43,16 @@ class BaseModel:
         """Returns (pred, gt, loss_kwargs, to_vis)."""
         raise NotImplementedError
 
+    def needs_dw_false_keys(self):
+        """Top-level param keys whose fused chains are invoked inside
+        the TRAINING forward with ``needs_dw=False`` (dW/db
+        accumulation skipped in the backward). Correctness requires
+        every such key to be a frozen (all-False) subtree of
+        ``trainable_mask`` -- its weight gradients would be zeroed by
+        the optimizer mask anyway. ``make_train_step`` asserts this
+        coupling at step-construction time."""
+        return frozenset()
+
     def compute_loss(self, params, pred, gt, **kwargs):
         """Returns per-example loss of shape (batch,)."""
         raise NotImplementedError

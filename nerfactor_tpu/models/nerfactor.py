@@ -277,6 +277,16 @@ class Model(ShapeModel):
                 "initialization", self.shape_model_ckpt)
             return None
 
+    def needs_dw_false_keys(self):
+        """The BRDF prior chain always runs needs_dw=False (it is
+        always frozen, nerfactor.py:60); the shape chains do so only
+        under shape_mode=frozen. make_train_step verifies these keys
+        are frozen subtrees of trainable_mask (see BaseModel)."""
+        keys = {'brdf_mlp', 'brdf_out'}
+        if not self.shape_heads_need_dw:
+            keys.update(SHAPE_PARAM_KEYS)
+        return frozenset(keys)
+
     def trainable_mask(self, params):
         """False subtrees get zero gradient updates -- the functional
         equivalent of `.trainable = False` (nerfactor.py:60, 158)."""

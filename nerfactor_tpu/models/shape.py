@@ -64,11 +64,13 @@ class Model(BaseModel):
         # Eval ray chunk for the N x L blow-up
         mlp_chunk = config.getint('mlp_chunk', fallback=1048576)
         self.eval_ray_chunk = max(64, mlp_chunk // max(self.n_lights, 1))
-        # Fused Pallas embed->MLP->head chains. Measured on v5e: the
-        # XLA path wins for the joint train step (43 vs 171 ms/step at
-        # 1024 rays x 512 lights) because its full-batch matmuls beat
-        # the kernel's VMEM-bounded small row blocks; the kernel is kept
-        # as an option pending better blocking of the dW accumulation.
+        # Fused Pallas embed->MLP->head chains (ops/pallas_mlp.py):
+        # transposed (features, rows) boundaries + recompute backward.
+        # Default True in every shipped shape/joint config — measured
+        # on v5e this is the difference between ~24.6 ms (XLA + bf16
+        # chains) and ~10 ms per joint step at 1024 rays x 512 lights.
+        # The INI fallback stays False so bare configs (and CPU tests)
+        # get the portable XLA path unless they opt in.
         self.fused_mlp = config.getboolean('fused_mlp', fallback=False)
         # bf16 activations for the (rays x lights)-scale chains: the
         # joint step is HBM-bound (CLAUDE.md perf notes), and these

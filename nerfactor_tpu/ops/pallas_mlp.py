@@ -887,15 +887,45 @@ def _bwd_kernel_trig(plan, needs_dx, x_ref, dy_ref, *refs):
         dx_ref[:] = d_x
 
 
+def _validated_env_block(name, env, feats=None, vmem_bytes=None):
+    """Parse a block-size env override, failing with a descriptive
+    error instead of an opaque Mosaic failure: the value must be a
+    positive multiple of 128 lanes, and (when the caller supplies its
+    per-column live-feature estimate) the implied VMEM footprint must
+    fit the 16 MB/core budget."""
+    try:
+        block = int(env)
+    except ValueError:
+        raise ValueError(
+            f"{name}={env!r} is not an integer block size") from None
+    if block <= 0 or block % 128:
+        raise ValueError(
+            f"{name}={block} must be a positive multiple of 128 "
+            "(TPU lane tile)")
+    if feats is not None:
+        est = feats * block * 4
+        cap = 16 * 1024 * 1024
+        if est > cap:
+            raise ValueError(
+                f"{name}={block} implies ~{est / 2**20:.1f} MB of live "
+                f"VMEM ({feats} live feature rows x {block} lanes x "
+                f"4 B) > the 16 MB/core budget -- the kernel would "
+                "fail to place. Use a smaller block.")
+    if vmem_bytes is not None and feats is None and \
+            block * 4 > vmem_bytes:
+        raise ValueError(f"{name}={block} exceeds the VMEM budget")
+    return block
+
+
 def _pick_block_rows_trig(plan, backward=False):
     """Same conservative VMEM model as _pick_block_rows, with the trig
     tensor (T lanes) in place of the embedding scratch."""
     import os
-    env = os.environ.get(
-        'NERFACTOR_TRIG_BLOCK_BWD' if backward
-        else 'NERFACTOR_TRIG_BLOCK_FWD')
+    name = ('NERFACTOR_TRIG_BLOCK_BWD' if backward
+            else 'NERFACTOR_TRIG_BLOCK_FWD')
+    env = os.environ.get(name)
     if env:
-        return int(env)
+        return _validated_env_block(name, env)
     pad = lambda d: max(d, 128)
     width = pad(max(max(plan.widths), trig_dim(plan), raw_dim(plan)))
     if backward:
@@ -1341,11 +1371,9 @@ def _pick_block_cols_t(plan, backward=False):
     VMEM budget. Feature axes pad to 8 sublanes; the model below counts
     live row-feature totals (posts dominate the backward)."""
     import os
-    env = os.environ.get(
-        'NERFACTOR_TRIG_T_BLOCK_BWD' if backward
-        else 'NERFACTOR_TRIG_T_BLOCK_FWD')
-    if env:
-        return int(env)
+    name = ('NERFACTOR_TRIG_T_BLOCK_BWD' if backward
+            else 'NERFACTOR_TRIG_T_BLOCK_FWD')
+    env = os.environ.get(name)
     pad8 = lambda d: max(8, -(-d) // 8 * 8)
     maxw = max(pad8(w) for w in plan.widths)
     t, raw = pad8(trig_dim(plan)), pad8(raw_dim(plan))
@@ -1353,6 +1381,8 @@ def _pick_block_cols_t(plan, backward=False):
         feats = 2 * t + (len(plan.widths) + 5) * maxw + 2 * raw + 64
     else:
         feats = t + 3 * maxw + raw + 64
+    if env:
+        return _validated_env_block(name, env, feats=feats)
     # 14 MB of the 16 MB VMEM (measured, v5e, lvis-scale 128x4 chain:
     # fwd 2048 -> 4096 and bwd 1024 -> 2048 cut the isolated
     # fwd+bwd chain 5.9 -> 5.0 ms wall; fwd 8192 fails to fit)

@@ -249,11 +249,9 @@ def _bwd_kernel(nplan, use_ladder, pts_ref, views_ref, drgb_ref,
 
 def _pick_block(nplan, backward=False):
     import os
-    env = os.environ.get(
-        'NERFACTOR_NERF_BLOCK_BWD' if backward
-        else 'NERFACTOR_NERF_BLOCK_FWD')
-    if env:
-        return int(env)
+    name = ('NERFACTOR_NERF_BLOCK_BWD' if backward
+            else 'NERFACTOR_NERF_BLOCK_FWD')
+    env = os.environ.get(name)
     pad8 = lambda d: max(8, -(-d) // 8 * 8)
     w = max(pad8(x) for x in nplan.trunk_plan.widths)
     tp = pad8(pm.trig_dim(nplan.trunk_plan))
@@ -264,6 +262,8 @@ def _pick_block(nplan, backward=False):
             + pad8(nplan.rgb_widths[0]) * 3 + 64
     else:
         feats = tp + tvd + 4 * w + 64
+    if env:
+        return pm._validated_env_block(name, env, feats=feats)
     budget = 8 * 1024 * 1024
     for block in (4096, 2048, 1024, 512, 256):
         if feats * block * 4 <= budget:

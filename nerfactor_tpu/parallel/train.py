@@ -72,6 +72,32 @@ def upcast_batch(arrays):
         if a.dtype in (jnp.float16, jnp.bfloat16) else a, arrays)
 
 
+def _check_needs_dw_invariant(model, trainable_mask):
+    """The needs_dw=False fast paths in the model forwards are correct
+    only because trainable_mask freezes the same param subtrees (their
+    weight gradients were optimizer-masked no-ops). Enforce that
+    coupling here, at step-construction time, instead of by comments in
+    distant files."""
+    keys = getattr(model, 'needs_dw_false_keys', frozenset)()
+    if not keys:
+        return
+    assert trainable_mask is not None, (
+        f"{type(model).__name__} declares needs_dw=False chains for "
+        f"{sorted(keys)} but no trainable_mask was passed to the train "
+        "step -- their weight gradients would be silently dropped. "
+        "Pass trainable_mask=model.trainable_mask(params).")
+    for k in sorted(keys):
+        if k not in trainable_mask:
+            continue
+        if any(jax.tree_util.tree_leaves(trainable_mask[k])):
+            raise AssertionError(
+                f"Param subtree '{k}' is flagged needs_dw=False in "
+                f"{type(model).__name__}'s forward but is trainable "
+                "per trainable_mask -- it would train on zero weight "
+                "gradients. Unfreeze implies the chain must pass "
+                "needs_dw=True.")
+
+
 def make_train_step(model, optimizer, trainable_mask=None):
     """Returns jitted (params, opt_state, arrays, key) -> (params,
     opt_state, loss).
@@ -80,6 +106,7 @@ def make_train_step(model, optimizer, trainable_mask=None):
     params); False leaves get zero updates -- the functional equivalent of
     the reference's `.trainable = False` freezing.
     """
+    _check_needs_dw_invariant(model, trainable_mask)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, arrays, key):
@@ -113,6 +140,7 @@ def make_train_step_scan(model, optimizer, trainable_mask=None,
     (params, opt_state, stacked_arrays, key) -> (params, opt_state,
     per-step losses (n_steps,)).
     """
+    _check_needs_dw_invariant(model, trainable_mask)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def train_steps(params, opt_state, stacked_arrays, key):

@@ -1,0 +1,82 @@
+"""Guards for cross-file invariants.
+
+1. The needs_dw=False fast paths in model forwards (frozen BRDF prior,
+   frozen shape heads) are correct only because trainable_mask freezes
+   the same param subtrees; make_train_step must assert that coupling
+   at construction time (ADVICE round 1).
+2. Pallas block-size env overrides must fail descriptively, not as
+   opaque Mosaic placement errors.
+"""
+
+import jax
+import pytest
+
+from __graft_entry__ import _make_model_and_batch
+from nerfactor_tpu.parallel.train import build_optimizer, \
+    make_train_step, make_train_step_scan
+
+
+def _model_and_opt(**kwargs):
+    model, _ = _make_model_and_batch(n_rays=8, light_h=2, tiny=True,
+                                     **kwargs)
+    return model, build_optimizer(model.config)
+
+
+def test_needs_dw_keys_declared():
+    model, _ = _model_and_opt()
+    keys = model.needs_dw_false_keys()
+    assert {'brdf_mlp', 'brdf_out'} <= set(keys)
+
+
+def test_train_step_requires_mask_for_frozen_chains():
+    model, opt = _model_and_opt()
+    with pytest.raises(AssertionError, match='needs_dw'):
+        make_train_step(model, opt, trainable_mask=None)
+    with pytest.raises(AssertionError, match='needs_dw'):
+        make_train_step_scan(model, opt, trainable_mask=None)
+
+
+def test_train_step_rejects_trainable_frozen_chain():
+    model, opt = _model_and_opt()
+    params = model.init_params(jax.random.PRNGKey(0))
+    mask = model.trainable_mask(params)
+    # Flip the BRDF prior trainable: the needs_dw=False chain would
+    # silently train on zero weight gradients
+    bad = dict(mask)
+    bad['brdf_mlp'] = jax.tree_util.tree_map(lambda _: True,
+                                             mask['brdf_mlp'])
+    with pytest.raises(AssertionError, match='brdf_mlp'):
+        make_train_step(model, opt, trainable_mask=bad)
+
+
+def test_train_step_accepts_consistent_mask():
+    model, opt = _model_and_opt()
+    params = model.init_params(jax.random.PRNGKey(0))
+    make_train_step(model, opt,
+                    trainable_mask=model.trainable_mask(params))
+
+
+def test_env_block_override_validation():
+    from nerfactor_tpu.ops.pallas_mlp import _validated_env_block
+    assert _validated_env_block('X', '2048') == 2048
+    with pytest.raises(ValueError, match='not an integer'):
+        _validated_env_block('X', 'huge')
+    with pytest.raises(ValueError, match='multiple of 128'):
+        _validated_env_block('X', '100')
+    with pytest.raises(ValueError, match='multiple of 128'):
+        _validated_env_block('X', '-256')
+    # 2000 live feature rows x 8192 lanes x 4 B = 62.5 MB > 16 MB
+    with pytest.raises(ValueError, match='VMEM'):
+        _validated_env_block('X', '8192', feats=2000)
+    assert _validated_env_block('X', '512', feats=2000) == 512
+
+
+def test_env_block_override_flows_through_pickers(monkeypatch):
+    from nerfactor_tpu.ops import pallas_mlp as pm
+    model, _ = _model_and_opt()
+    plan = model.plans['brdf']
+    monkeypatch.setenv('NERFACTOR_TRIG_T_BLOCK_FWD', '999')
+    with pytest.raises(ValueError, match='multiple of 128'):
+        pm._pick_block_cols_t(plan)
+    monkeypatch.setenv('NERFACTOR_TRIG_T_BLOCK_FWD', '1024')
+    assert pm._pick_block_cols_t(plan) == 1024
