@@ -6,7 +6,9 @@ Configs specify losses as comma-joined '<weight><name>' strings like
 over the *global* batch under data parallelism.
 """
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def parse_loss_and_weight(weight_loss_str):
@@ -53,24 +55,67 @@ def mae_lastdim(gt, pred):
     return jnp.mean(jnp.abs(gt - pred), axis=-1)
 
 
-def ssim(gt, pred, keep_batch=False, weights=None, max_val=1.0):
-    """(1 - SSIM)/2 on NxHxWxC images (stub: reduced-window SSIM).
+def _gauss_window(size=11, sigma=1.5):
+    coords = np.arange(size, dtype=np.float64) - (size - 1) / 2
+    g = np.exp(-(coords ** 2) / (2.0 * sigma ** 2))
+    return jnp.asarray(g / g.sum(), jnp.float32)
 
-    Shipped configs all use l2; this exists for config parity with
-    'ssim' loss strings on image-shaped batches.
-    """
-    # Global-statistics SSIM (window = whole image) -- adequate as a loss.
-    axes = tuple(range(1, gt.ndim))
-    mu_x = jnp.mean(gt, axis=axes, keepdims=True)
-    mu_y = jnp.mean(pred, axis=axes, keepdims=True)
-    var_x = jnp.var(gt, axis=axes, keepdims=True)
-    var_y = jnp.var(pred, axis=axes, keepdims=True)
-    cov = jnp.mean((gt - mu_x) * (pred - mu_y), axis=axes, keepdims=True)
+
+def _depthwise_gauss_valid(img, win):
+    """Separable VALID-padded Gaussian filter on (N, H, W, C): each
+    channel filtered independently (tf.image.ssim's depthwise conv)."""
+    n, h, w, c = img.shape
+    x = jnp.moveaxis(img, -1, 1).reshape(n * c, 1, h, w)
+    size = win.shape[0]
+    kh = win.reshape(1, 1, size, 1)
+    kw = win.reshape(1, 1, 1, size)
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, kh.shape, ('NCHW', 'OIHW', 'NCHW'))
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), 'VALID',
+                                     dimension_numbers=dn)
+    x = jax.lax.conv_general_dilated(x, kw, (1, 1), 'VALID',
+                                     dimension_numbers=dn)
+    oh, ow = x.shape[2], x.shape[3]
+    return jnp.moveaxis(x.reshape(n, c, oh, ow), 1, -1)
+
+
+def ssim_index(gt, pred, max_val=1.0, filter_size=11, filter_sigma=1.5):
+    """Per-image SSIM on (N, H, W, C), exactly tf.image.ssim's
+    algorithm (11x11 Gaussian window, sigma 1.5, VALID padding,
+    k1=0.01/k2=0.03, unbiased-covariance compensation 1): returns an
+    N-vector in [-1, 1]. Backing the reference's SSIM loss
+    (nerfactor/losses.py:68-81)."""
+    assert gt.ndim == 4, "ssim expects (N, H, W, C) image batches"
+    assert gt.shape[1] >= filter_size and gt.shape[2] >= filter_size, (
+        f"images must be at least {filter_size}x{filter_size} for the "
+        "windowed SSIM loss")
+    win = _gauss_window(filter_size, filter_sigma)
     c1 = (0.01 * max_val) ** 2
     c2 = (0.03 * max_val) ** 2
-    sim = ((2 * mu_x * mu_y + c1) * (2 * cov + c2)) / (
-        (mu_x ** 2 + mu_y ** 2 + c1) * (var_x + var_y + c2))
-    loss = (1.0 - jnp.squeeze(sim)) / 2.0
+    mu_x = _depthwise_gauss_valid(gt, win)
+    mu_y = _depthwise_gauss_valid(pred, win)
+    mu_xx = _depthwise_gauss_valid(gt * gt, win)
+    mu_yy = _depthwise_gauss_valid(pred * pred, win)
+    mu_xy = _depthwise_gauss_valid(gt * pred, win)
+    var_x = mu_xx - mu_x * mu_x
+    var_y = mu_yy - mu_y * mu_y
+    cov = mu_xy - mu_x * mu_y
+    lum = (2 * mu_x * mu_y + c1) / (mu_x ** 2 + mu_y ** 2 + c1)
+    cs = (2 * cov + c2) / (var_x + var_y + c2)
+    return jnp.mean(lum * cs, axis=(1, 2, 3))
+
+
+def ssim(gt, pred, keep_batch=False, weights=None, max_val=1.0):
+    """(1 - SSIM)/2 on NxHxWxC image batches, with the reference's
+    windowed tf.image.ssim semantics (nerfactor/losses.py:68-81;
+    cross-validated against tf.image.ssim in
+    tests/test_reference_parity.py). ``weights`` alpha-blends both
+    images onto black first, as the reference does."""
+    if weights is not None:
+        gt = gt * weights
+        pred = pred * weights
+    sim = ssim_index(gt, pred, max_val=max_val)
+    loss = (1.0 - sim) / 2.0
     return loss if keep_batch else jnp.mean(loss)
 
 
