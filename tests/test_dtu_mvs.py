@@ -277,3 +277,77 @@ def test_dtu_make_dataset(dtu_scene, tmp_path_factory):
                     meta['cam_transform_mat'].split(',')]).reshape(4, 4)
     # Spherified: cameras near the unit sphere
     assert abs(np.linalg.norm(mat[:3, 3]) - 1.0) < 0.3
+
+
+def test_decompose_projection_matches_cv2():
+    """Our RQ-based decomposition == cv2.decomposeProjectionMatrix
+    (what the reference raw-DTU path uses,
+    make_dataset_from_raw.py:71)."""
+    cv2 = pytest.importorskip('cv2')
+    rng = np.random.RandomState(11)
+    for _ in range(5):
+        K = np.array([[100 + 30 * rng.rand(), 0, 64 * rng.rand()],
+                      [0, 100 + 30 * rng.rand(), 48 * rng.rand()],
+                      [0, 0, 1.0]])
+        q, _ = np.linalg.qr(rng.randn(3, 3))
+        if np.linalg.det(q) < 0:
+            q[:, 0] *= -1
+        R = q.T
+        c = rng.randn(3) * 3
+        P = K @ np.concatenate([R, (-R @ c)[:, None]], axis=1)
+        K_cv = cv2.decomposeProjectionMatrix(P)[0]
+        K_cv = K_cv / K_cv[2, 2]
+        K_ours, _, _ = camlib.decompose_projection(P)
+        np.testing.assert_allclose(K_ours, K_cv, rtol=1e-6, atol=1e-6)
+
+
+def test_dtu_make_dataset_from_raw(tmp_path_factory):
+    """Raw pos_???.txt + rectified images -> per-view layout
+    (reference data_gen/dtu_mvs/make_dataset_from_raw.py)."""
+    base = str(tmp_path_factory.mktemp('dtu_raw'))
+    cam_dir = join(base, 'cal')
+    img_dir = join(base, 'imgs', 'scan1')
+    os.makedirs(cam_dir)
+    os.makedirs(img_dir)
+    K = np.array([[120.0, 0, 32], [0, 120.0, 32], [0, 0, 1]])
+    center = np.array([0.0, 0.0, 5.0])
+    rng = np.random.RandomState(2)
+    for i in range(6):
+        az = 2 * np.pi * i / 6 + 0.2
+        loc = center + 6.0 * np.array(
+            [np.cos(az) * 0.9, np.sin(az) * 0.9, -0.45])
+        cam = camlib.PerspCam.from_lookat(K, loc, center, up=(0, 0, -1),
+                                          imh=64, imw=64)
+        np.savetxt(join(cam_dir, 'pos_%03d.txt' % (i + 1)),
+                   K @ cam.ext_mat)
+        # Name pattern: the reference globs the most diffuse lighting
+        # condition '*_3_*'
+        ioutil.write_img(rng.rand(64, 64, 3).astype(np.float32),
+                         join(img_dir, 'rect_%03d_3_r5000.png' % (i + 1)))
+        # Decoys under other lighting conditions must be ignored
+        ioutil.write_img(np.zeros((64, 64, 3), np.float32),
+                         join(img_dir, 'rect_%03d_5_r5000.png' % (i + 1)))
+    out = str(tmp_path_factory.mktemp('dtu_raw_out'))
+    from data_gen_tpu import dtu_make_dataset_from_raw
+    dtu_make_dataset_from_raw.main([
+        '--cam_dir', cam_dir, '--img_root', join(base, 'imgs'),
+        '--scenes', 'scan1', '--outroot', out, '--h', '32',
+        '--n_vali', '2'])
+    scene_out = join(out, 'scan1')
+    assert len(ioutil.sortglob(scene_out, 'train_???')) == 4
+    assert len(ioutil.sortglob(scene_out, 'val_???')) == 2
+    assert len(ioutil.sortglob(scene_out, 'test_???')) == 120
+    meta = ioutil.read_json(join(scene_out, 'train_000', 'metadata.json'))
+    assert meta['imh'] == 32 and meta['imw'] == 32
+    mat = np.array([float(x) for x in
+                    meta['cam_transform_mat'].split(',')]).reshape(4, 4)
+    assert abs(np.linalg.norm(mat[:3, 3]) - 1.0) < 0.3
+    # rgba with the all-one alpha appended
+    img = ioutil.load_img(join(scene_out, 'train_000', 'rgba.png'))
+    assert img.shape == (32, 32, 4)
+    assert img[:, :, 3].min() > 0.99
+    # Skip-if-done guard
+    dtu_make_dataset_from_raw.main([
+        '--cam_dir', cam_dir, '--img_root', join(base, 'imgs'),
+        '--scenes', 'scan1', '--outroot', out, '--h', '32',
+        '--n_vali', '2'])
