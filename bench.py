@@ -8,8 +8,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 TF-2.2 GPU reference: its telemetry (trainvali.py:179-182) logs
 batch_time_train for 1024-ray steps; a V100-class GPU runs the same
 forward+backward (2x 512-light MLP blowups, chunked) at roughly 0.5 s per
-step => ~2,048 rays/sec. The reference repo publishes no numbers
-(BASELINE.md), so this anchor is recorded here rather than cited.
+step => ~2,048 rays/sec. The reference repo publishes no numbers, but
+the estimate is now bounded by a MEASUREMENT (BASELINE.md "Measured
+baselines"): the reference's own trainvali.py, run end-to-end on this
+host's CPU (TF 2.21, oneDNN), sustains 8.59 s/step = 119 rays/s at
+identical settings -- the 2,048 anchor therefore assumes the GPU is
+~17x that measured CPU figure. Treat vs_baseline as indicative (GPU
+roofline arguments span ~17-280x over one CPU core); the absolute
+rays/sec/chip value is the trustworthy metric.
 
 Dispatch mode matches shipping training: nerfactor.ini's scan_steps=8
 multi-step lax.scan dispatch (trainvali's default drive), timed as
