@@ -13,10 +13,12 @@ TPU-first design notes (vs the reference):
     (nerfactor.py:188-193, 429-434, 268-293); here everything is dense
     with where-masks, so one compiled program serves every batch.
   * Relighting is algebra, not a loop: the reference re-integrates the
-    rendering equation per OLAT/probe (nerfactor.py:346-364). Here the
-    per-light linear contribution C = brdf * lvis * cos+ * dOmega (N,L,3)
-    is computed once; OLAT renders are slices of C and probe renders are
-    one einsum over the light axis.
+    rendering equation per OLAT/probe (nerfactor.py:346-364). The
+    per-light linear contribution C = brdf * lvis * cos+ * dOmega is
+    channel-rank-structured (brdf = albedo/pi + achromatic spec), so
+    renders and relights are (N, L) matmuls against light matrices and
+    column slices -- the (N, L, 3) tensor itself is never materialized
+    (see ``render``).
   * Full-image eval walks ray chunks with ``lax.map`` (static shapes)
     instead of the reference's Python chunk_apply scatter loop.
 """
@@ -339,9 +341,25 @@ class Model(ShapeModel):
     def eval_brdf_at(self, params, pts2l, pts2c, normal, albedo, brdf_prop):
         """(N,L,3),(N,3),(N,3),(N,3),(N,z) -> (N,L,3) BRDF values.
 
-        Reference nerfactor.py:413-461, minus the data-dependent gather:
-        back-lit (ray, light) pairs are zeroed with a where-mask after a
-        dense MLP pass, keeping shapes static for XLA.
+        Reference nerfactor.py:413-461. Parity wrapper over
+        :meth:`eval_spec_at`; the production render path never calls
+        this -- it keeps the achromatic (N, L) specular factor separate
+        so light contractions stay matmuls (see :meth:`render`).
+        """
+        spec = self.eval_spec_at(params, pts2l, pts2c, normal, brdf_prop)
+        return albedo[:, None, :] / jnp.pi + spec[:, :, None]
+
+    def eval_spec_at(self, params, pts2l, pts2c, normal, brdf_prop):
+        """(N,L,3),(N,3),(N,3),(N,z) -> (N,L) achromatic specular BRDF
+        (already scaled by ``learned_brdf_scale``, back-lit pairs
+        zeroed).
+
+        Reference nerfactor.py:413-461, minus the data-dependent
+        gather: back-lit (ray, light) pairs are zeroed with a
+        where-mask after a dense MLP pass, keeping shapes static for
+        XLA -- and minus the albedo/pi Lambertian broadcast, which
+        :meth:`render` folds into the light contraction instead of
+        materializing the (N, L, 3) BRDF tensor.
         """
         n, l = pts2l.shape[0], pts2l.shape[1]
         world2local = geomops.gen_world2local(normal)  # (N,3,3)
@@ -375,14 +393,16 @@ class Model(ShapeModel):
                                     needs_dw=False)
         # Zero out back-lit directions (local cos = ldir_z <= 0)
         front_lit = ldir_flat[:, 2:] > 0
-        spec = jnp.where(front_lit, spec_flat, 0.0).reshape(n, l, 1)
-        # Achromatic specular + Lambertian albedo term
-        return albedo[:, None, :] / jnp.pi \
-            + spec * self.learned_brdf_scale
+        spec = jnp.where(front_lit, spec_flat, 0.0).reshape(n, l)
+        return spec * self.learned_brdf_scale
 
     def _light_contrib(self, lvis, brdf, l, n):
-        """Per-light linear radiance contribution C with C @ light = rgb:
-        the shared factor of every render (nerfactor.py:325-336)."""
+        """Per-light linear radiance contribution C with C @ light = rgb
+        (nerfactor.py:325-336). ORACLE ONLY: the production
+        :meth:`render` never materializes this (N, L, 3) tensor -- it
+        exploits brdf = albedo/pi + spec channel-rank structure to
+        contract lights as (N, L) matmuls. Kept for the algebra tests
+        (test_relight_algebra_vs_quadrature)."""
         cos = jnp.einsum('ijk,ik->ij', l, n)  # (N,L)
         front_lit = (cos > 0).astype(brdf.dtype)
         lvis_eff = front_lit * lvis  # (N,L)
@@ -395,27 +415,53 @@ class Model(ShapeModel):
             rgb = imgops.linear2srgb(rgb)
         return rgb
 
-    def render(self, params, lvis, brdf, l, n, relight_olat=False,
+    def render(self, params, lvis, spec, albedo, l, n, relight_olat=False,
                relight_probes=False):
-        """Rendering equation + optional relights, all from one contrib
-        tensor."""
-        contrib = self._light_contrib(lvis, brdf, l, n)  # (N,L,3)
+        """Rendering equation + optional relights, materialization-free.
+
+        The contribution tensor C[n,l,c] = brdf[n,l,c] * w[n,l] with
+        w = lvis * max(cos, 0) * dOmega (nerfactor.py:325-336) is
+        channel-rank-structured because brdf = albedo/pi + spec: every
+        light contraction factors as
+
+          sum_l C[n,l,c] light[l,c]
+            = albedo[n,c]/pi * (w @ light)[n,c] + (s @ light)[n,c],
+          s = spec * w,
+
+        i.e. two (N, L) x (L, .) MXU matmuls per light set -- the
+        (N, L, 3) tensor of the reference's hot loop
+        (nerfactor.py:315-364) is never built, which matters at 512px
+        test-time chunks x 512 lights x {1 render, 512 OLATs, P
+        probes}. OLAT k is the k-th column slice of (w, s); the
+        ambient term is their row sums.
+        """
+        cos = jnp.einsum('ijk,ik->ij', l, n)  # (N,L)
+        front_lit = (cos > 0).astype(spec.dtype)
+        w = (front_lit * lvis * cos) * self.lareas.reshape(1, -1)  # (N,L)
+        s = spec * w  # (N,L)
+        lam = albedo / jnp.pi  # (N,3)
         light_flat = self.light_from(params).reshape(-1, 3)  # (L,3)
         rgb = self._finish_render(
-            jnp.einsum('nlc,lc->nc', contrib, light_flat))
+            lam * (w @ light_flat) + s @ light_flat)
         rgb_olat = None
         if relight_olat:
-            # OLAT k = olat_inten * C[:, k] (+ ambient * sum_L C): slicing
-            # replaces the reference's 512 re-integrations
-            olat = self.olat_inten * contrib[:, self.olat_inds, :]
+            # OLAT k = olat_inten * C[:, k] (+ ambient * sum_L C):
+            # column slices replace the reference's 512 re-integrations
+            w_o = w[:, self.olat_inds]  # (N, n_olat)
+            s_o = s[:, self.olat_inds]
+            olat = self.olat_inten * (
+                lam[:, None, :] * w_o[:, :, None] + s_o[:, :, None])
             if self.ambient_inten > 0:
-                olat = olat + self.ambient_inten * jnp.sum(
-                    contrib, axis=1, keepdims=True)
+                ambient = lam * jnp.sum(w, axis=1, keepdims=True) \
+                    + jnp.sum(s, axis=1, keepdims=True)  # (N,3)
+                olat = olat + self.ambient_inten * ambient[:, None, :]
             rgb_olat = self._finish_render(olat)  # (N, n_olat, 3)
         rgb_probes = None
         if relight_probes and self.probes_flat is not None:
-            probes = jnp.einsum('nlc,plc->npc', contrib, self.probes_flat)
-            rgb_probes = self._finish_render(probes)  # (N, P, 3)
+            pw = jnp.einsum('nl,plc->npc', w, self.probes_flat)
+            ps = jnp.einsum('nl,plc->npc', s, self.probes_flat)
+            rgb_probes = self._finish_render(
+                lam[:, None, :] * pw + ps)  # (N, P, 3)
         return rgb, rgb_olat, rgb_probes
 
     # ------ forward ------
@@ -488,10 +534,10 @@ class Model(ShapeModel):
         if brdf_z_override is not None:
             brdf_prop = jnp.broadcast_to(
                 brdf_z_override.reshape(1, self.z_dim), brdf_prop.shape)
-        brdf = self.eval_brdf_at(
-            params, surf2l, surf2c, normal_pred, albedo, brdf_prop)
+        spec = self.eval_spec_at(
+            params, surf2l, surf2c, normal_pred, brdf_prop)
         rgb_pred, rgb_olat, rgb_probes = self.render(
-            params, lvis_pred, brdf, surf2l, normal_pred,
+            params, lvis_pred, spec, albedo, surf2l, normal_pred,
             relight_olat=relight_olat, relight_probes=relight_probes)
         out.update({'rgb': rgb_pred, 'normal': normal_pred,
                     'lvis': lvis_pred, 'albedo': albedo,

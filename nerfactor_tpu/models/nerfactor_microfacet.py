@@ -8,7 +8,7 @@ import numpy as np
 
 from nerfactor_tpu.models import networks
 from nerfactor_tpu.models.nerfactor import Model as NeRFactorModel
-from nerfactor_tpu.ops.microfacet import microfacet_brdf
+from nerfactor_tpu.ops.microfacet import microfacet_spec
 from nerfactor_tpu.utils.logging import Logger
 
 logger = Logger(loggee="models/nerfactor_microfacet")
@@ -35,11 +35,12 @@ class Model(NeRFactorModel):
         return networks.MLPSpec(
             self.specs['brdf_z_mlp'].out_dim, [self.z_dim], acts='sigmoid')
 
-    def eval_brdf_at(self, params, pts2l, pts2c, normal, albedo, brdf_prop):
+    def eval_spec_at(self, params, pts2l, pts2c, normal, brdf_prop):
+        # Achromatic GGX lobe; the base class composes albedo/pi + spec
+        # (eval_brdf_at) and contracts lights matmul-style (render)
         del params  # analytic BRDF has no learned weights
-        return microfacet_brdf(
-            pts2l, pts2c, normal, albedo=albedo, rough=brdf_prop,
-            f0=self.fresnel_f0)
+        return microfacet_spec(
+            pts2l, pts2c, normal, rough=brdf_prop, f0=self.fresnel_f0)
 
     def _brdf_prop_as_img(self, brdf_prop, seen_z):
         del seen_z

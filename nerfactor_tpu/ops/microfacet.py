@@ -9,6 +9,44 @@ import jax.numpy as jnp
 from nerfactor_tpu.ops.math import safe_l2_normalize, divide_no_nan
 
 
+def microfacet_spec(pts2l, pts2c, normal, rough=None, default_rough=0.3,
+                    f0=0.91):
+    """Achromatic GGX specular lobe F*G*D / (4 |l.n| |v.n|).
+
+    The full microfacet BRDF is channel-rank-structured:
+    ``albedo/pi + spec[..., None]`` -- keeping the (N, L) specular
+    factor separate lets the renderer contract it against lights as an
+    MXU matmul without materializing the (N, L, 3) BRDF tensor
+    (models/nerfactor.py render()).
+
+    Args:
+      pts2l: (N, L, 3) surface-to-light directions.
+      pts2c: (N, 3) surface-to-camera directions.
+      normal: (N, 3).
+      rough: (N, 1) or None (defaults to ``default_rough``).
+
+    Returns:
+      (N, L) specular BRDF values.
+    """
+    n = pts2c.shape[0]
+    if rough is None:
+        rough = default_rough * jnp.ones((n, 1), dtype=pts2c.dtype)
+    pts2l = safe_l2_normalize(pts2l, axis=2)
+    pts2c = safe_l2_normalize(pts2c, axis=1)
+    normal = safe_l2_normalize(normal, axis=1)
+    # Half vectors
+    h = pts2l + pts2c[:, None, :]
+    h = safe_l2_normalize(h, axis=2)
+    f = _fresnel_schlick(pts2l, h, f0)  # (N, L)
+    alpha = rough ** 2
+    d = _distribution_ggx(h, normal, alpha)  # (N, L)
+    g = _geometry_ggx(pts2c, h, normal, alpha)  # (N, L)
+    l_dot_n = jnp.einsum('ijk,ik->ij', pts2l, normal)
+    v_dot_n = jnp.einsum('ij,ij->i', pts2c, normal)
+    denom = 4 * jnp.abs(l_dot_n) * jnp.abs(v_dot_n)[:, None]
+    return divide_no_nan(f * g * d, denom)  # (N, L)
+
+
 def microfacet_brdf(pts2l, pts2c, normal, albedo=None, rough=None,
                     default_rough=0.3, lambert_only=False, f0=0.91):
     """Evaluates the GGX microfacet BRDF in world coordinates.
@@ -26,27 +64,14 @@ def microfacet_brdf(pts2l, pts2c, normal, albedo=None, rough=None,
     n = pts2c.shape[0]
     if albedo is None:
         albedo = jnp.ones((n, 3), dtype=pts2c.dtype)
-    if rough is None:
-        rough = default_rough * jnp.ones((n, 1), dtype=pts2c.dtype)
-    pts2l = safe_l2_normalize(pts2l, axis=2)
-    pts2c = safe_l2_normalize(pts2c, axis=1)
-    normal = safe_l2_normalize(normal, axis=1)
-    # Half vectors
-    h = pts2l + pts2c[:, None, :]
-    h = safe_l2_normalize(h, axis=2)
-    f = _fresnel_schlick(pts2l, h, f0)  # (N, L)
-    alpha = rough ** 2
-    d = _distribution_ggx(h, normal, alpha)  # (N, L)
-    g = _geometry_ggx(pts2c, h, normal, alpha)  # (N, L)
-    l_dot_n = jnp.einsum('ijk,ik->ij', pts2l, normal)
-    v_dot_n = jnp.einsum('ij,ij->i', pts2c, normal)
-    denom = 4 * jnp.abs(l_dot_n) * jnp.abs(v_dot_n)[:, None]
-    microfacet = divide_no_nan(f * g * d, denom)  # (N, L)
-    brdf_glossy = jnp.tile(microfacet[:, :, None], (1, 1, 3))
     lambert = albedo / jnp.pi
-    brdf_diffuse = jnp.broadcast_to(lambert[:, None, :], brdf_glossy.shape)
+    glossy_shape = (n, pts2l.shape[1], 3)
+    brdf_diffuse = jnp.broadcast_to(lambert[:, None, :], glossy_shape)
     if lambert_only:
         return brdf_diffuse
+    microfacet = microfacet_spec(pts2l, pts2c, normal, rough=rough,
+                                 default_rough=default_rough, f0=f0)
+    brdf_glossy = jnp.tile(microfacet[:, :, None], (1, 1, 3))
     return brdf_glossy + brdf_diffuse
 
 

@@ -290,14 +290,19 @@ def test_relight_algebra_vs_quadrature(pipeline):
     rng = np.random.RandomState(0)
     n, n_lights = 8, model.n_lights
     lvis = jnp.asarray(rng.rand(n, n_lights), jnp.float32)
-    brdf = jnp.asarray(rng.rand(n, n_lights, 3), jnp.float32)
+    spec = jnp.asarray(rng.rand(n, n_lights), jnp.float32)
+    albedo = jnp.asarray(rng.rand(n, 3), jnp.float32)
     l = jnp.asarray(rng.randn(n, n_lights, 3), jnp.float32)
     l = l / jnp.linalg.norm(l, axis=-1, keepdims=True)
     nrm = jnp.asarray(rng.randn(n, 3), jnp.float32)
     nrm = nrm / jnp.linalg.norm(nrm, axis=-1, keepdims=True)
     rgb, rgb_olat, rgb_probes = model.render(
-        params, lvis, brdf, l, nrm, relight_olat=True, relight_probes=True)
-    # Naive oracle: re-integrate per light condition
+        params, lvis, spec, albedo, l, nrm, relight_olat=True,
+        relight_probes=True)
+    # Naive oracle: materialize the full (N, L, 3) brdf/contribution
+    # tensors (what the factored render avoids) and re-integrate per
+    # light condition
+    brdf = albedo[:, None, :] / jnp.pi + spec[:, :, None]
     contrib = np.asarray(model._light_contrib(lvis, brdf, l, nrm))
 
     def integrate(light_flat):
@@ -422,6 +427,9 @@ def test_fused_rusink_matches_default_path(pipeline):
         configutil.resolve_config_path('nerfactor.ini'))
     configutil.apply_override(
         parser, _nerfactor_override(pipeline, join(pipeline['out'], 'fr')))
+    # The shipped config defaults fused_rusink=True (round 2); build
+    # the unfused baseline with an explicit override
+    configutil.apply_override(parser, 'fused_rusink=False')
     config = configutil.Config(parser)
     model0 = get_model_class('nerfactor')(config)
     configutil.apply_override(parser, 'fused_rusink=True')
