@@ -44,6 +44,10 @@ def parse_args(argv=None):
     p.add_argument('--extra_override', default='',
                    help="extra config overrides for the shape + joint "
                         "stages (e.g. bf16_big_chains=True)")
+    p.add_argument('--n_materials', type=int, default=2,
+                   help="synthetic BRDF-table materials for the prior "
+                        "(>=20 to mirror the reference's hardcoded "
+                        "20-identity interpolation sweep)")
     return p.parse_args(argv)
 
 
@@ -80,7 +84,13 @@ def main(argv=None):
     grid = np.stack(np.meshgrid(
         np.linspace(0, np.pi, 18), np.linspace(0, np.pi / 2, 9),
         np.linspace(0, np.pi / 2, 9), indexing='ij'), -1).reshape(-1, 3)
-    for i, (name, val) in enumerate((('matte', 0.05), ('shiny', 0.6))):
+    if args.n_materials == 2:
+        materials = (('matte', 0.05), ('shiny', 0.6))
+    else:
+        materials = tuple(
+            ('mat%02d' % i, v) for i, v in enumerate(
+                np.linspace(0.05, 0.6, args.n_materials)))
+    for i, (name, val) in enumerate(materials):
         refl = val * np.ones((grid.shape[0], 1), np.float32)
         for mode in ('train', 'vali'):
             np.savez(join(brdf_data, '%s_%s.npz' % (mode, name)),
