@@ -7,10 +7,63 @@ the loss is averaged over the globally-sharded batch axis.
 """
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import optax
+
+
+class TfAdamState(NamedTuple):
+    count: jnp.ndarray
+    m: optax.Updates
+    v: optax.Updates
+    vhat: optax.Updates
+
+
+def _tf_adam_amsgrad(learning_rate, b1=0.9, b2=0.999, eps=1e-7):
+    """tf.keras.optimizers.Adam(amsgrad=True) with EXACT TF semantics:
+
+        lr_t   = lr * sqrt(1 - b2^t) / (1 - b1^t)
+        m_t    = b1 m + (1 - b1) g
+        v_t    = b2 v + (1 - b2) g^2
+        vhat_t = max(vhat, v_t)
+        step   = -lr_t * m_t / (sqrt(vhat_t) + eps)
+
+    This differs from optax.amsgrad in two ways that MEASURABLY change
+    training quality (see QUALITY.md "optimizer parity"): the epsilon
+    default (TF 1e-7 vs optax 1e-8) and its placement (TF adds eps to
+    the BIASED sqrt(vhat) with the bias corrections folded into lr_t;
+    optax adds it to the bias-CORRECTED denominator). For heads whose
+    gradients are tiny (the joint model's brdf_z chain reaches
+    per-element grads ~1e-8), the update degenerates to lr*m/eps, so a
+    10x smaller eps means 10x larger steps -- measured to leave the
+    BRDF-z map ~7x rougher and cost ~9 dB of joint-stage vali PSNR vs
+    the reference (reference optimizer: trainvali.py:116-127)."""
+
+    def init_fn(params):
+        zeros = lambda: jax.tree_util.tree_map(jnp.zeros_like, params)
+        return TfAdamState(count=jnp.zeros([], jnp.int32), m=zeros(),
+                           v=zeros(), vhat=zeros())
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = state.count + 1
+        lr = learning_rate(state.count) if callable(learning_rate) \
+            else learning_rate
+        t = count.astype(jnp.float32)
+        lr_t = lr * jnp.sqrt(1.0 - b2 ** t) / (1.0 - b1 ** t)
+        m = jax.tree_util.tree_map(
+            lambda m_, g: b1 * m_ + (1.0 - b1) * g, state.m, updates)
+        v = jax.tree_util.tree_map(
+            lambda v_, g: b2 * v_ + (1.0 - b2) * jnp.square(g),
+            state.v, updates)
+        vhat = jax.tree_util.tree_map(jnp.maximum, state.vhat, v)
+        steps = jax.tree_util.tree_map(
+            lambda m_, vh: -lr_t * m_ / (jnp.sqrt(vh) + eps), m, vhat)
+        return steps, TfAdamState(count=count, m=m, v=v, vhat=vhat)
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def _clip_by_per_leaf_norm(max_norm):
@@ -56,7 +109,8 @@ def build_optimizer(config):
     if clipvalue is not None and clipvalue > 0:
         assert clipnorm is None or clipnorm < 0, err_msg
         transforms.append(optax.clip(clipvalue))
-    transforms.append(optax.amsgrad(learning_rate=schedule))
+    eps = config.getfloat('adam_eps', fallback=1e-7)
+    transforms.append(_tf_adam_amsgrad(schedule, eps=eps))
     return optax.chain(*transforms)
 
 

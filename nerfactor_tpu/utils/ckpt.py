@@ -53,20 +53,34 @@ def restore_pytree(template, path_prefix):
 
 def restore_trained_params(ckpt_path, template_params, config):
     """Restores just the model parameters from a trainvali checkpoint
-    (which stores {'params', 'opt_state'}); the optimizer state template
-    is reconstructed from the experiment's config.
+    (which stores {'params', 'opt_state'}).
+
+    The checkpoint is flattened in dict-key order, so 'opt_state' leaves
+    precede 'params' leaves; the params are always the TRAILING
+    len(tree_leaves(template_params)) arrays. Slicing from the tail
+    (instead of reconstructing the optimizer-state template from config)
+    keeps old checkpoints restorable across optimizer-state layout
+    changes -- only the params structure must match.
 
     This is how one model composes another's training result at
     construction time (reference nerfactor.py:59, 156-158)."""
-    from nerfactor_tpu.parallel.train import build_optimizer
-    optimizer = build_optimizer(config)
-    template = {'params': template_params,
-                'opt_state': optimizer.init(template_params)}
+    del config  # kept for call-site compatibility
     path = ckpt_path if ckpt_path.endswith('.npz') else ckpt_path + '.npz'
     if not os.path.exists(path):
         raise FileNotFoundError(path)
-    state = restore_pytree(template, ckpt_path)
-    return state['params']
+    with open(path, 'rb') as h:
+        data = np.load(h)
+        arrays = [data['leaf_%06d' % i] for i in range(len(data.files))]
+    leaves, treedef = jax.tree_util.tree_flatten(template_params)
+    assert len(arrays) >= len(leaves), (
+        "Checkpoint has %d leaves but the params template alone has %d"
+        % (len(arrays), len(leaves)))
+    tail = arrays[len(arrays) - len(leaves):]
+    for i, (l, a) in enumerate(zip(leaves, tail)):
+        assert tuple(np.shape(l)) == tuple(a.shape), (
+            "Params leaf %d shape mismatch: template %s vs checkpoint %s"
+            % (i, np.shape(l), a.shape))
+    return jax.tree_util.tree_unflatten(treedef, tail)
 
 
 class CheckpointManager:

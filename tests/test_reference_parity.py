@@ -316,3 +316,53 @@ def test_sphere_renderer_matches_reference(tmp_path):
     ref_render = ref_r.render(brdf)
     our_render = our_r.render(brdf)
     np.testing.assert_allclose(our_render, ref_render, atol=1e-5)
+
+
+# ------ the optimizer: tf.keras Adam(amsgrad=True) trajectories ------
+
+def test_tf_adam_amsgrad_trajectory_matches_keras():
+    """Our default optimizer must follow tf.keras.optimizers.Adam(
+    amsgrad=True) step for step (reference trainvali.py:116-127) --
+    including the eps-dominated regime of tiny-gradient heads, where
+    optax.amsgrad's different eps default/placement measurably changes
+    joint-stage quality (QUALITY.md 'optimizer parity')."""
+    import optax
+    from nerfactor_tpu.parallel.train import _tf_adam_amsgrad
+
+    rng = np.random.RandomState(31)
+    w0 = rng.randn(6, 3).astype(np.float32)
+    # Two scales: normal grads and the ~1e-8 grads of the brdf_z head
+    for gscale, lr in ((1.0, 1e-2), (1e-8, 5e-3)):
+        grads = [
+            (gscale * rng.randn(6, 3)).astype(np.float32)
+            for _ in range(40)]
+
+        var = tf.Variable(w0.copy())
+        tf_opt = tf.keras.optimizers.Adam(learning_rate=lr, amsgrad=True)
+        for g in grads:
+            tf_opt.apply_gradients([(tf.constant(g), var)])
+        tf_final = var.numpy()
+
+        opt = _tf_adam_amsgrad(lr)
+        params = jnp.asarray(w0)
+        state = opt.init(params)
+        for g in grads:
+            updates, state = opt.update(jnp.asarray(g), state)
+            params = optax.apply_updates(params, updates)
+        np.testing.assert_allclose(
+            np.asarray(params), tf_final, rtol=2e-5, atol=2e-7,
+            err_msg='gscale=%g' % gscale)
+
+        # And demonstrate the regression this guards against: plain
+        # optax.amsgrad diverges from Keras in the tiny-grad regime.
+        if gscale < 1e-6:
+            opt2 = optax.amsgrad(learning_rate=lr)
+            p2 = jnp.asarray(w0)
+            s2 = opt2.init(p2)
+            for g in grads:
+                u2, s2 = opt2.update(jnp.asarray(g), s2, p2)
+                p2 = optax.apply_updates(p2, u2)
+            drift_ours = float(np.abs(np.asarray(params) - tf_final).max())
+            drift_optax = float(np.abs(np.asarray(p2) - tf_final).max())
+            assert drift_optax > 10 * max(drift_ours, 1e-12), (
+                drift_optax, drift_ours)
