@@ -383,13 +383,13 @@ class Model(ShapeModel):
                                             params['brdf_out'])
             spec_flat = pallas_rusink.apply_rusink_chain(
                 self.plans['brdf'], z_flat, ldir_flat, vdir_flat, p,
-                compute_dtype=self.big_chain_dtype)
+                compute_dtype=self.chain_dtype('brdf'))
         else:
             rusink = geomops.dir2rusink(ldir_flat, vdir_flat)  # (NL,3)
             z_rusink_raw = jnp.concatenate((z_flat, rusink), axis=1)
             spec_flat = self._chain(params, 'brdf_mlp', 'brdf_out',
                                     self.plans['brdf'], z_rusink_raw,
-                                    compute_dtype=self.big_chain_dtype,
+                                    compute_dtype=self.chain_dtype('brdf'),
                                     needs_dw=False)
         # Zero out back-lit directions (local cos = ldir_z <= 0)
         front_lit = ldir_flat[:, 2:] > 0

@@ -79,6 +79,15 @@ class Model(BaseModel):
         # the render stay f32.
         self.big_chain_dtype = jnp.bfloat16 if config.getboolean(
             'bf16_big_chains', fallback=False) else None
+        # Per-chain opt-out: '+'-separated chain names ('lvis', 'brdf')
+        # that stay f32 even under bf16_big_chains ('+' because
+        # --config_override reserves ','). Lets quality-sensitive runs
+        # keep one chain exact while the other rides bf16 (the
+        # fixed-optimizer regime exposed a ~0.5 dB bf16 cost on the XLA
+        # path; see QUALITY.md "Optimizer parity").
+        self.f32_chains = frozenset(
+            s for s in config.get('f32_chains', fallback='').replace(
+                '+', ' ').split() if s)
         self._init_specs()
         self._init_plans()
 
@@ -127,6 +136,12 @@ class Model(BaseModel):
                 [(3, self._nf(self.n_freqs_xyz)),
                  (3, self._nf(self.n_freqs_ldir))],
                 self.specs['lvis_mlp'], self.specs['lvis_out'])
+
+    def chain_dtype(self, name):
+        """Compute dtype for the named big chain ('lvis', 'brdf'):
+        ``big_chain_dtype`` unless the chain is pinned f32 via the
+        ``f32_chains`` config key."""
+        return None if name in self.f32_chains else self.big_chain_dtype
 
     def _chain(self, params, mlp_name, out_name, plan, x_raw,
                compute_dtype=None, needs_dx=True, needs_dw=True):
@@ -193,7 +208,7 @@ class Model(BaseModel):
             (surf_rep.reshape(-1, 3), surf2l.reshape(-1, 3)), axis=-1)
         lvis = self._chain(params, 'lvis_mlp', 'lvis_out',
                            self.plans['lvis'], x_raw,
-                           compute_dtype=self.big_chain_dtype,
+                           compute_dtype=self.chain_dtype('lvis'),
                            needs_dx=False,
                            needs_dw=self.shape_heads_need_dw)
         return lvis.reshape(n, l)

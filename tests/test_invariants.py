@@ -80,3 +80,47 @@ def test_env_block_override_flows_through_pickers(monkeypatch):
         pm._pick_block_cols_t(plan)
     monkeypatch.setenv('NERFACTOR_TRIG_T_BLOCK_FWD', '1024')
     assert pm._pick_block_cols_t(plan) == 1024
+
+
+def test_f32_chains_pins_chain_dtype():
+    """f32_chains pins individual N x L chains to f32 under
+    bf16_big_chains (QUALITY.md "Optimizer parity": bf16 chains cost
+    ~0.5 dB in the fixed-optimizer regime; the pin recovers quality
+    per chain without giving up bf16 elsewhere)."""
+    import jax.numpy as jnp
+    model, _ = _make_model_and_batch(
+        extra_overrides='bf16_big_chains=True,f32_chains=brdf')
+    assert model.chain_dtype('brdf') is None
+    assert model.chain_dtype('lvis') == jnp.bfloat16
+    # Both pinned via the '+' separator
+    model2, _ = _make_model_and_batch(
+        extra_overrides='bf16_big_chains=True,f32_chains=lvis+brdf')
+    assert model2.chain_dtype('brdf') is None
+    assert model2.chain_dtype('lvis') is None
+
+
+def test_f32_chains_all_recovers_f32_forward():
+    """bf16_big_chains + f32_chains=lvis+brdf is bitwise the pure-f32
+    forward: the two N x L chains were the only bf16 sites."""
+    import numpy as np
+    # nerfactor.ini ships bf16_big_chains=True, so f32 needs an
+    # explicit opt-out here
+    model_f32, batch = _make_model_and_batch(
+        extra_overrides='bf16_big_chains=False')
+    model_pin, _ = _make_model_and_batch(
+        extra_overrides='bf16_big_chains=True,f32_chains=lvis+brdf')
+    params = model_f32.init_params(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(7)
+    pred_a, _, _, _ = model_f32.apply(params, batch, mode='train',
+                                      key=key)
+    pred_b, _, _, _ = model_pin.apply(params, batch, mode='train',
+                                      key=key)
+    np.testing.assert_array_equal(np.asarray(pred_a['rgb']),
+                                  np.asarray(pred_b['rgb']))
+    # Sanity: an unpinned bf16 forward does NOT match bitwise
+    model_bf16, _ = _make_model_and_batch(
+        extra_overrides='bf16_big_chains=True')
+    pred_c, _, _, _ = model_bf16.apply(params, batch, mode='train',
+                                       key=key)
+    assert not np.array_equal(np.asarray(pred_a['rgb']),
+                              np.asarray(pred_c['rgb']))
