@@ -87,7 +87,12 @@ class Dataset(BaseDataset):
         normal = ioutil.load_np(paths['normal'])
         if self.debug:
             logger.warn("Faking light visibility for faster debugging")
-            lvis = 0.5 * np.ones(normal.shape[:2] + (512,), np.float32)
+            # Reference nerf_shape.py:153 hardcodes 512 dirs because its
+            # configs always use a 16x32 sphere; honor light_h so debug
+            # mode works at any light resolution
+            light_h = self.config.getint('light_h')
+            lvis = 0.5 * np.ones(
+                normal.shape[:2] + (2 * light_h * light_h,), np.float32)
         else:
             # The lvis buffer is the memory hazard of this stage: at the
             # reference's 512px it is H x W x 512 = 512 MB fp32 PER VIEW
