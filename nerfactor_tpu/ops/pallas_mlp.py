@@ -588,9 +588,30 @@ INTERPRET = False
 # In-kernel MXU operand dtype. Inside the kernel every activation lives
 # in VMEM, so the HBM-traffic argument for f32 does not apply and bf16
 # runs the MXU at its native rate; accumulation stays f32
-# (preferred_element_type). Quality impact matches the validated
-# bf16_big_chains mode. Set to None for f32 MXU passes.
-KERNEL_MATMUL_DTYPE = jnp.bfloat16
+# (preferred_element_type). Set to None for f32 MXU passes (also the
+# stash dtype follows it). Quality A/B in QUALITY.md "Round 2".
+
+
+def _kernel_matmul_dtype_from_env():
+    """NERFACTOR_KERNEL_MATMUL_DTYPE in {bf16, bfloat16, f32, float32}
+    selects the in-kernel MXU operand/stash dtype for ALL fused kernels
+    (pallas_nerf reads this module's global). Validated here so a typo
+    fails loudly instead of silently benchmarking the wrong precision."""
+    import os
+    env = os.environ.get('NERFACTOR_KERNEL_MATMUL_DTYPE')
+    if not env:
+        return jnp.bfloat16
+    key = env.strip().lower()
+    if key in ('bf16', 'bfloat16'):
+        return jnp.bfloat16
+    if key in ('f32', 'float32'):
+        return None
+    raise ValueError(
+        'NERFACTOR_KERNEL_MATMUL_DTYPE=%r: expected one of '
+        'bf16/bfloat16/f32/float32' % env)
+
+
+KERNEL_MATMUL_DTYPE = _kernel_matmul_dtype_from_env()
 
 
 def _kdot(a, b):

@@ -71,6 +71,25 @@ def test_env_block_override_validation():
     assert _validated_env_block('X', '512', feats=2000) == 512
 
 
+def test_env_kernel_matmul_dtype_override(monkeypatch):
+    """NERFACTOR_KERNEL_MATMUL_DTYPE selects the in-kernel MXU dtype
+    for the fused chains (used by the TPU bf16-vs-f32 quality A/B,
+    QUALITY.md "Round 2") and rejects typos loudly."""
+    import jax.numpy as jnp
+    from nerfactor_tpu.ops import pallas_mlp as pm
+    monkeypatch.delenv('NERFACTOR_KERNEL_MATMUL_DTYPE', raising=False)
+    assert pm._kernel_matmul_dtype_from_env() == jnp.bfloat16
+    monkeypatch.setenv('NERFACTOR_KERNEL_MATMUL_DTYPE', 'f32')
+    assert pm._kernel_matmul_dtype_from_env() is None
+    monkeypatch.setenv('NERFACTOR_KERNEL_MATMUL_DTYPE', 'float32')
+    assert pm._kernel_matmul_dtype_from_env() is None
+    monkeypatch.setenv('NERFACTOR_KERNEL_MATMUL_DTYPE', 'bfloat16')
+    assert pm._kernel_matmul_dtype_from_env() == jnp.bfloat16
+    monkeypatch.setenv('NERFACTOR_KERNEL_MATMUL_DTYPE', 'fp8')
+    with pytest.raises(ValueError, match='KERNEL_MATMUL_DTYPE'):
+        pm._kernel_matmul_dtype_from_env()
+
+
 def test_env_block_override_flows_through_pickers(monkeypatch):
     from nerfactor_tpu.ops import pallas_mlp as pm
     model, _ = _model_and_opt()
