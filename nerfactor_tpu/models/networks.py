@@ -63,6 +63,11 @@ def _matmul(x, w):
         return jax.lax.dot(
             x.astype(MATMUL_DTYPE), w.astype(MATMUL_DTYPE),
             preferred_element_type=jnp.float32)
+    if x.dtype == jnp.float32 and w.dtype == jnp.float32:
+        # The TPU default truncates f32 matmul operands to bf16 on the
+        # MXU; an f32 path must ask for HIGHEST to actually be f32
+        return jax.lax.dot(x, w, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
     return x @ w
 
 

@@ -179,6 +179,16 @@ def _act_bwd(name, post, d):
     raise NotImplementedError(name)
 
 
+def _ref_prec(a, b):
+    """Precision for the XLA reference-path dots: when both operands
+    are (still) f32 the caller intends an f32 matmul, which on TPU
+    requires HIGHEST (the default truncates operands to bf16 on the
+    MXU). bf16 operands are exact in a single pass, so None is right."""
+    if a.dtype == jnp.float32 and b.dtype == jnp.float32:
+        return jax.lax.Precision.HIGHEST
+    return None
+
+
 def _dot_tn(a, b):
     """a.T @ b without an explicit transpose op (dot_general contracting
     the row dims) -- explicit .T inside kernel loops trips a libtpu
@@ -188,7 +198,8 @@ def _dot_tn(a, b):
         a = a.astype(networks.MATMUL_DTYPE)
         b = b.astype(networks.MATMUL_DTYPE)
     return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=_ref_prec(a, b))
 
 
 def _dot_nt(a, b):
@@ -198,7 +209,8 @@ def _dot_nt(a, b):
         a = a.astype(networks.MATMUL_DTYPE)
         b = b.astype(networks.MATMUL_DTYPE)
     return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=_ref_prec(a, b))
 
 
 def _dot(a, b):
@@ -209,7 +221,8 @@ def _dot(a, b):
     if networks.MATMUL_DTYPE is not None:
         a = a.astype(networks.MATMUL_DTYPE)
         b = b.astype(networks.MATMUL_DTYPE)
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=_ref_prec(a, b))
 
 
 def _embed_dot(plan, x, w, row0=0):
@@ -614,12 +627,22 @@ def _kernel_matmul_dtype_from_env():
 KERNEL_MATMUL_DTYPE = _kernel_matmul_dtype_from_env()
 
 
+def _kprec():
+    """Matmul precision matching KERNEL_MATMUL_DTYPE's intent. The TPU
+    default truncates f32 operands to bf16 on the MXU, so without
+    HIGHEST an 'f32' kernel silently computes the SAME single bf16
+    pass as the bf16 kernel (measured: bit-identical outputs)."""
+    return None if KERNEL_MATMUL_DTYPE is not None \
+        else jax.lax.Precision.HIGHEST
+
+
 def _kdot(a, b):
     """In-kernel matmul at KERNEL_MATMUL_DTYPE with f32 accumulation."""
     if KERNEL_MATMUL_DTYPE is not None:
         a = a.astype(KERNEL_MATMUL_DTYPE)
         b = b.astype(KERNEL_MATMUL_DTYPE)
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=_kprec())
 
 
 def _kdot_tn(a, b):
@@ -627,7 +650,8 @@ def _kdot_tn(a, b):
         a = a.astype(KERNEL_MATMUL_DTYPE)
         b = b.astype(KERNEL_MATMUL_DTYPE)
     return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=_kprec())
 
 
 def _kdot_nt(a, b):
@@ -635,7 +659,8 @@ def _kdot_nt(a, b):
         a = a.astype(KERNEL_MATMUL_DTYPE)
         b = b.astype(KERNEL_MATMUL_DTYPE)
     return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=_kprec())
 
 # Backward-kernel scratch precision: bf16 halves the e/de scratch
 # footprint (the backward at 2048-row blocks is ~737KB over the 16MB
@@ -780,9 +805,11 @@ def _unperm_dw_trig(plan, dflat):
 
 
 def _f32_nt(a, b):
-    """a @ b.T in f32 (transpose-free dot_general)."""
+    """a @ b.T in TRUE f32 (transpose-free dot_general; HIGHEST beats
+    the TPU default's bf16 operand truncation)."""
     return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
 
 
 def _fwd_layers_trig(plan, x, trig, wb_refs, keep_hidden=False):
@@ -826,8 +853,10 @@ def _fwd_kernel_trig(plan, with_stash, x_ref, *refs):
         wb_refs = refs[:-1]
     x = x_ref[:]
     if t:
-        # Phase must be exact: x @ A in f32 (freqs reach 2**(f-1))
-        xf = jnp.dot(x, a_ref[:], preferred_element_type=jnp.float32) \
+        # Phase must be exact: x @ A in TRUE f32 (freqs reach
+        # 2**(f-1); HIGHEST beats the TPU default's bf16 truncation)
+        xf = jnp.dot(x, a_ref[:], preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST) \
             + p_ref[:]
         trig = jnp.sin(xf).astype(_stash_dtype())
     else:
@@ -903,7 +932,8 @@ def _bwd_kernel_trig(plan, needs_dx, x_ref, dy_ref, *refs):
             # cos(xf) is only needed for dx: recompute the (cheap, f32)
             # phase matmul here rather than stashing it in the forward
             xf = jnp.dot(x, a_ref[:],
-                         preferred_element_type=jnp.float32) + p_ref[:]
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST) + p_ref[:]
             d_x = d_x + _f32_nt(d_trig * jnp.cos(xf), a_ref[:])
         dx_ref[:] = d_x
 
@@ -1158,9 +1188,11 @@ def _pallas_backward(plan, x, params, dy):
 
 
 def _f32_tn(a, b):
-    """a.T @ b in f32 (transpose-free dot_general)."""
+    """a.T @ b in TRUE f32 (transpose-free dot_general; HIGHEST beats
+    the TPU default's bf16 operand truncation)."""
     return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
 
 
 def _seg_index_map(plan):
@@ -1284,8 +1316,10 @@ def _fwd_kernel_trig_t(plan, with_stash, use_ladder, x_ref, *refs):
     if t and use_ladder:
         trig = _trig_ladder(plan, x).astype(_stash_dtype())
     elif t:
-        # Phase must be exact: A^T @ x in f32 (freqs reach 2**(f-1))
-        xf = jnp.dot(a_ref[:], x, preferred_element_type=jnp.float32) \
+        # Phase must be exact: A^T @ x in TRUE f32 (freqs reach
+        # 2**(f-1); HIGHEST beats the TPU default's bf16 truncation)
+        xf = jnp.dot(a_ref[:], x, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST) \
             + p_ref[:]
         trig = jnp.sin(xf).astype(_stash_dtype())
     else:
@@ -1380,7 +1414,8 @@ def _bwd_kernel_trig_t(plan, needs_dx, needs_dw, use_ladder, x_ref,
             # cos(xf) only feeds dx: recompute the cheap f32 phase
             # matmul instead of stashing it in the forward
             xf = jnp.dot(a_ref[:], x,
-                         preferred_element_type=jnp.float32) + p_ref[:]
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST) + p_ref[:]
             cosxf = jnp.cos(xf)
         if t:
             d_x = d_x + _f32_tn(a_ref[:], d_trig * cosxf)

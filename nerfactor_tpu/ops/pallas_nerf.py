@@ -154,12 +154,16 @@ def _fwd_kernel(nplan, with_stash, use_ladder, pts_ref, views_ref,
         trig_v = pm._trig_ladder(_view_plan(nplan), views).astype(
             pm._stash_dtype()) if tv else None
     else:
+        # Phases must be exact: HIGHEST beats the TPU default's bf16
+        # operand truncation (see pallas_mlp._kprec)
         xf = jnp.dot(ap_ref[:], pts,
-                     preferred_element_type=jnp.float32) + pp_ref[:]
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST) + pp_ref[:]
         trig_p = jnp.sin(xf).astype(pm._stash_dtype())
         if tv:
             vf = jnp.dot(av_ref[:], views,
-                         preferred_element_type=jnp.float32) + pv_ref[:]
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST) + pv_ref[:]
             trig_v = jnp.sin(vf).astype(pm._stash_dtype())
         else:
             trig_v = None
