@@ -124,7 +124,8 @@ def rgb_to_yuv(rgb):
     m = jnp.array([[0.299, -0.14714119, 0.61497538],
                    [0.587, -0.28886916, -0.51496512],
                    [0.114, 0.43601035, -0.10001026]], rgb.dtype)
-    return rgb @ m
+    # HIGHEST: the TPU default would truncate the f32 operands to bf16
+    return jnp.matmul(rgb, m, precision=jax.lax.Precision.HIGHEST)
 
 
 def uvl2(gt, pred, keep_batch=False, weights=None):

@@ -403,7 +403,8 @@ class Model(ShapeModel):
         exploits brdf = albedo/pi + spec channel-rank structure to
         contract lights as (N, L) matmuls. Kept for the algebra tests
         (test_relight_algebra_vs_quadrature)."""
-        cos = jnp.einsum('ijk,ik->ij', l, n)  # (N,L)
+        cos = jnp.einsum('ijk,ik->ij', l, n,
+                         precision=jax.lax.Precision.HIGHEST)  # (N,L)
         front_lit = (cos > 0).astype(brdf.dtype)
         lvis_eff = front_lit * lvis  # (N,L)
         areas = self.lareas.reshape(1, -1, 1)
@@ -435,14 +436,18 @@ class Model(ShapeModel):
         probes}. OLAT k is the k-th column slice of (w, s); the
         ambient term is their row sums.
         """
-        cos = jnp.einsum('ijk,ik->ij', l, n)  # (N,L)
+        # HIGHEST: the TPU default truncates f32 matmul/einsum operands
+        # to bf16 on the MXU; the rendering equation stays true f32
+        hi = jax.lax.Precision.HIGHEST
+        cos = jnp.einsum('ijk,ik->ij', l, n, precision=hi)  # (N,L)
         front_lit = (cos > 0).astype(spec.dtype)
         w = (front_lit * lvis * cos) * self.lareas.reshape(1, -1)  # (N,L)
         s = spec * w  # (N,L)
         lam = albedo / jnp.pi  # (N,3)
         light_flat = self.light_from(params).reshape(-1, 3)  # (L,3)
         rgb = self._finish_render(
-            lam * (w @ light_flat) + s @ light_flat)
+            lam * jnp.matmul(w, light_flat, precision=hi)
+            + jnp.matmul(s, light_flat, precision=hi))
         rgb_olat = None
         if relight_olat:
             # OLAT k = olat_inten * C[:, k] (+ ambient * sum_L C):
@@ -458,8 +463,10 @@ class Model(ShapeModel):
             rgb_olat = self._finish_render(olat)  # (N, n_olat, 3)
         rgb_probes = None
         if relight_probes and self.probes_flat is not None:
-            pw = jnp.einsum('nl,plc->npc', w, self.probes_flat)
-            ps = jnp.einsum('nl,plc->npc', s, self.probes_flat)
+            pw = jnp.einsum('nl,plc->npc', w, self.probes_flat,
+                            precision=hi)
+            ps = jnp.einsum('nl,plc->npc', s, self.probes_flat,
+                            precision=hi)
             rgb_probes = self._finish_render(
                 lam[:, None, :] * pw + ps)  # (N, P, 3)
         return rgb, rgb_olat, rgb_probes

@@ -93,9 +93,13 @@ def to_uint(tensor_0to1, dtype=np.uint8):
 
 def rgb2lum(rgb):
     """Rec. 709 luminance."""
-    xp = np if isinstance(rgb, np.ndarray) else jnp
-    weights = xp.asarray((0.2126, 0.7152, 0.0722), dtype=rgb.dtype)
-    return rgb @ weights
+    if isinstance(rgb, np.ndarray):
+        return rgb @ np.asarray((0.2126, 0.7152, 0.0722),
+                                dtype=rgb.dtype)
+    weights = jnp.asarray((0.2126, 0.7152, 0.0722), dtype=rgb.dtype)
+    # HIGHEST: the TPU default would truncate the f32 operands to bf16
+    return jnp.matmul(rgb, weights,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def hconcat(img_list, out_w=None):

@@ -4,6 +4,7 @@ Pure tensor math; behavioral contract is brdf/microfacet/microfacet.py in
 the reference (D at :93, G at :75, Schlick Fresnel at :106).
 """
 
+import jax
 import jax.numpy as jnp
 
 from nerfactor_tpu.ops.math import safe_l2_normalize, divide_no_nan
@@ -41,8 +42,10 @@ def microfacet_spec(pts2l, pts2c, normal, rough=None, default_rough=0.3,
     alpha = rough ** 2
     d = _distribution_ggx(h, normal, alpha)  # (N, L)
     g = _geometry_ggx(pts2c, h, normal, alpha)  # (N, L)
-    l_dot_n = jnp.einsum('ijk,ik->ij', pts2l, normal)
-    v_dot_n = jnp.einsum('ij,ij->i', pts2c, normal)
+    # HIGHEST: the TPU default would truncate f32 operands to bf16
+    hi = jax.lax.Precision.HIGHEST
+    l_dot_n = jnp.einsum('ijk,ik->ij', pts2l, normal, precision=hi)
+    v_dot_n = jnp.einsum('ij,ij->i', pts2c, normal, precision=hi)
     denom = 4 * jnp.abs(l_dot_n) * jnp.abs(v_dot_n)[:, None]
     return divide_no_nan(f * g * d, denom)  # (N, L)
 
@@ -100,5 +103,6 @@ def _distribution_ggx(m, n, alpha):
 
 
 def _fresnel_schlick(l, m, f0):
-    cos_theta = jnp.einsum('ijk,ijk->ij', l, m)
+    cos_theta = jnp.einsum('ijk,ijk->ij', l, m,
+                           precision=jax.lax.Precision.HIGHEST)
     return f0 + (1 - f0) * (1 - cos_theta) ** 5
