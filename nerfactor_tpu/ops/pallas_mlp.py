@@ -571,7 +571,7 @@ def _pick_block_rows(plan, backward=False):
     stash = n_bufs * pad(max(max(plan.widths), embed_dim(plan)))
     budget = 8 * 1024 * 1024
     for block in (4096, 2048, 1024, 512, 256):
-        if stash * block * 4 <= budget:
+        if stash * block * _bytes_per_feat() <= budget:
             return block
     return 128
 
@@ -625,6 +625,17 @@ def _kernel_matmul_dtype_from_env():
 
 
 KERNEL_MATMUL_DTYPE = _kernel_matmul_dtype_from_env()
+
+
+def _bytes_per_feat():
+    """Per-(feature-row x lane) unit of the block pickers' VMEM cost
+    model. The 4-byte unit is calibrated for the shipping bf16 kernel
+    mode. TRUE-f32 mode (KERNEL_MATMUL_DTYPE None) keeps every buffer
+    f32 AND HIGHEST-precision matmuls add multi-pass operand scratch --
+    measured scoped-stack allocation ~2.3x the bf16 model -- so its
+    budget unit is 10 bytes (blocks shrink ~2-4x; f32 mode is the
+    quality-validation path, not the perf path)."""
+    return 4 if KERNEL_MATMUL_DTYPE is not None else 10
 
 
 def _kprec():
@@ -986,7 +997,7 @@ def _pick_block_rows_trig(plan, backward=False):
     stash = n_bufs * width
     budget = 8 * 1024 * 1024
     for block in (4096, 2048, 1024, 512, 256):
-        if stash * block * 4 <= budget:
+        if stash * block * _bytes_per_feat() <= budget:
             return block
     return 128
 
@@ -1444,7 +1455,7 @@ def _pick_block_cols_t(plan, backward=False):
     # fwd+bwd chain 5.9 -> 5.0 ms wall; fwd 8192 fails to fit)
     budget = 14 * 1024 * 1024
     for block in (8192, 4096, 2048, 1024, 512, 256):
-        if feats * block * 4 <= budget:
+        if feats * block * _bytes_per_feat() <= budget:
             return block
     return 128
 

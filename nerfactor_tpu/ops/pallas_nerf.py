@@ -270,7 +270,7 @@ def _pick_block(nplan, backward=False):
         return pm._validated_env_block(name, env, feats=feats)
     budget = 8 * 1024 * 1024
     for block in (4096, 2048, 1024, 512, 256):
-        if feats * block * 4 <= budget:
+        if feats * block * pm._bytes_per_feat() <= budget:
             return block
     return 128
 
