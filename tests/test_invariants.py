@@ -101,6 +101,33 @@ def test_env_block_override_flows_through_pickers(monkeypatch):
     assert pm._pick_block_cols_t(plan) == 1024
 
 
+def test_f32_kernel_mode_shrinks_block_budget(monkeypatch):
+    """TRUE-f32 kernel mode (KERNEL_MATMUL_DTYPE None) must budget
+    VMEM at ~2.3x the bf16 cost model (f32 buffers + HIGHEST-precision
+    multi-pass matmul scratch), so the block pickers return strictly
+    smaller blocks than in the shipping bf16 mode — otherwise the
+    quality-validation path hits opaque Mosaic VMEM OOMs."""
+    from nerfactor_tpu.ops import pallas_mlp as pm
+    model, _ = _model_and_opt()
+    plan = model.plans['brdf']
+    monkeypatch.setattr(pm, 'KERNEL_MATMUL_DTYPE', None)
+    assert pm._bytes_per_feat() == 10
+    f32_picks = (pm._pick_block_cols_t(plan),
+                 pm._pick_block_cols_t(plan, backward=True),
+                 pm._pick_block_rows_trig(plan),
+                 pm._pick_block_rows(plan))
+    import jax.numpy as jnp
+    monkeypatch.setattr(pm, 'KERNEL_MATMUL_DTYPE', jnp.bfloat16)
+    assert pm._bytes_per_feat() == 4
+    bf16_picks = (pm._pick_block_cols_t(plan),
+                  pm._pick_block_cols_t(plan, backward=True),
+                  pm._pick_block_rows_trig(plan),
+                  pm._pick_block_rows(plan))
+    assert all(f < b for f, b in zip(f32_picks, bf16_picks)), \
+        (f32_picks, bf16_picks)
+    assert all(f >= 128 for f in f32_picks)
+
+
 def test_f32_chains_pins_chain_dtype():
     """f32_chains pins individual N x L chains to f32 under
     bf16_big_chains (QUALITY.md "Optimizer parity": bf16 chains cost
