@@ -24,7 +24,7 @@ import numpy as np
 
 from nerfactor_tpu.ops import img as imgops
 from nerfactor_tpu.ops.light import load_light
-from nerfactor_tpu.utils import io as ioutil
+from nerfactor_tpu.utils import exr as exrutil, io as ioutil
 from nerfactor_tpu.utils.logging import Logger
 
 logger = Logger(loggee="data_gen/nerf_synth")
@@ -212,6 +212,123 @@ def _render_view(args, cam_transform_mat, cam_angle_x, outdir):
             scene.render.filepath = outpath
             bpy.ops.render.render(write_still=True)
             bpy.data.objects.remove(light_obj)
+    # Albedo: Cycles diffuse-color pass (white specularity assumption),
+    # plus the glossy-color pass when requested (reference
+    # render.py:215-233)
+    albedo_png = join(outdir, 'albedo.png')
+    if not exists(albedo_png):
+        rgba = ioutil.load_img(rgba_png, force_rgba=True)
+        alpha = rgba[:, :, 3]
+        diffuse_exr = join(outdir, 'diffuse-color.exr')
+        _render_pass_exr(scene, diffuse_exr, 'diffuse_color')
+        albedo = exrutil.read_exr(diffuse_exr)[:, :, :3]
+        if args.add_glossy_albedo:
+            glossy_exr = join(outdir, 'glossy-color.exr')
+            _render_pass_exr(scene, glossy_exr, 'glossy_color')
+            albedo = albedo + exrutil.read_exr(glossy_exr)[:, :, :3]
+        ioutil.write_img(np.dstack((albedo, alpha)), albedo_png)
+    # World-space normals via the Cycles normal pass, plus the
+    # reference ball (reference render.py:235-247)
+    normal_png = join(outdir, 'normal.png')
+    if not exists(normal_png):
+        rgba = ioutil.load_img(rgba_png, force_rgba=True)
+        alpha = rgba[:, :, 3]
+        samples_old = scene.cycles.samples
+        scene.cycles.samples = 16  # anti-aliased edges only
+        normal_exr = join(outdir, 'normal.exr')
+        refball_exr = join(outdir, 'refball-normal.exr')
+        refball = _add_refball(cam_obj, args.res)
+        hidden = {}
+        for o in bpy.data.objects:
+            if o.type == 'MESH':
+                hidden[o.name] = o.hide_render
+                o.hide_render = o.name != refball.name
+        _render_pass_exr(scene, refball_exr, 'normal')
+        for name, state in hidden.items():
+            bpy.data.objects[name].hide_render = state
+        bpy.data.objects.remove(refball)
+        _render_pass_exr(scene, normal_exr, 'normal')
+        scene.cycles.samples = samples_old
+        normals = exrutil.read_exr(normal_exr)[:, :, :3]
+        ioutil.write_img(
+            np.dstack((_normal_as_image(normals), alpha)), normal_png)
+        refball_normals = exrutil.read_exr(refball_exr)
+        ioutil.write_img(
+            np.dstack((_normal_as_image(refball_normals[:, :, :3]),
+                       refball_normals[:, :, 3]
+                       if refball_normals.shape[2] > 3 else
+                       np.ones(refball_normals.shape[:2], np.float32))),
+            join(outdir, 'refball-normal.png'))
+
+
+def _normal_as_image(normals):
+    """(H, W, 3) world normals in [-1, 1] -> displayable [0, 1] RGB
+    (xiuminglib vis.geometry.normal_as_image semantics)."""
+    return np.clip((np.asarray(normals, np.float32) + 1.0) / 2.0, 0.0, 1.0)
+
+
+def _render_pass_exr(scene, outpath, pass_name):
+    """Renders ONE Cycles view-layer pass (alpha-carrying 32-bit EXR)
+    through a compositor FileOutput node (the reference's
+    xiuminglib/blender/render.py:618-699 flow, re-expressed minimally:
+    enable the pass, SetAlpha it with the render alpha, file-output the
+    socket, render, move the frame-numbered file into place)."""
+    import shutil
+    import tempfile
+
+    pass_sockets = {'diffuse_color': 'DiffCol', 'glossy_color': 'GlossCol',
+                    'normal': 'Normal'}
+    socket = pass_sockets[pass_name]
+    view_layer = bpy.context.view_layer
+    setattr(view_layer, 'use_pass_' + pass_name, True)
+    film_old = scene.render.film_transparent
+    scene.render.film_transparent = True
+    scene.use_nodes = True
+    tree = scene.node_tree
+    for node in list(tree.nodes):
+        if node.name != 'Render Layers':
+            tree.nodes.remove(node)
+    if 'Render Layers' not in tree.nodes:
+        tree.nodes.new('CompositorNodeRLayers')
+    rl = tree.nodes['Render Layers']
+    set_alpha = tree.nodes.new('CompositorNodeSetAlpha')
+    tree.links.new(rl.outputs['Alpha'], set_alpha.inputs['Alpha'])
+    tree.links.new(rl.outputs[socket], set_alpha.inputs['Image'])
+    outnode = tree.nodes.new('CompositorNodeOutputFile')
+    outnode.base_path = tempfile.mkdtemp(prefix='pass_') + os.sep
+    outnode.format.file_format = 'OPEN_EXR'
+    outnode.format.color_depth = '32'
+    outnode.format.color_mode = 'RGBA'
+    tree.links.new(set_alpha.outputs['Image'], outnode.inputs['Image'])
+    scene.render.filepath = join(outnode.base_path, 'composite_discard')
+    bpy.ops.render.render(write_still=True)
+    frames = sorted(f for f in os.listdir(outnode.base_path)
+                    if f.endswith('.exr'))
+    assert frames, "FileOutput node wrote no EXR frame"
+    shutil.move(join(outnode.base_path, frames[0]), outpath)
+    scene.render.film_transparent = film_old
+    return outpath
+
+
+def _add_refball(cam_obj, res):
+    """Adds a smooth-shaded UV sphere centered on the optical axis at
+    depth 10, scaled so its projection spans ~80% of the frame
+    (reference render.py:241 via xiuminglib render_normal's refball)."""
+    from mathutils import Vector
+
+    z_c = 10.0
+    center = cam_obj.matrix_world @ Vector((0.0, 0.0, -z_c))
+    # Projected radius fraction of the half-frame is r * lens /
+    # (z * sensor/2); solve for 0.8
+    sensor = cam_obj.data.sensor_width
+    radius = 0.8 * z_c * sensor / (2.0 * cam_obj.data.lens)
+    bpy.ops.mesh.primitive_uv_sphere_add(
+        radius=radius, location=tuple(center))
+    sphere = bpy.context.object
+    sphere.name = 'refball'
+    for f in sphere.data.polygons:
+        f.use_smooth = True
+    return sphere
 
 
 def _set_env_light(path, strength):

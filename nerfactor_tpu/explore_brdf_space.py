@@ -14,7 +14,7 @@ import numpy as np
 
 from nerfactor_tpu import datasets, models
 from nerfactor_tpu.utils import config as configutil, io as ioutil
-from nerfactor_tpu.utils.ckpt import restore_pytree
+from nerfactor_tpu.utils import ckpt as ckptutil
 from nerfactor_tpu.utils.logging import Logger
 
 logger = Logger(loggee="explore_brdf_space")
@@ -29,17 +29,12 @@ def parse_args(argv=None):
 
 
 def restore_model(model, ckpt_path):
-    """Restores a model's trainable params from a ckpt-N prefix (written
-    by trainvali; the checkpoint stores {'params', 'opt_state'} but for
-    inference only params are needed)."""
+    """Restores a model's trainable params from a ckpt-N prefix (the
+    checkpoint stores {'params', 'opt_state'}; inference needs only
+    the params tail -- same path as test.py)."""
     template = model.init_params(jax.random.PRNGKey(0))
-    import optax
-    from nerfactor_tpu.parallel.train import build_optimizer
-    opt = build_optimizer(model.config)
-    full_template = {'params': template, 'opt_state': opt.init(template)}
-    state = restore_pytree(full_template, ckpt_path)
-    del optax
-    return state['params']
+    return ckptutil.restore_trained_params(ckpt_path, template,
+                                           model.config)
 
 
 def main(argv=None):

@@ -229,6 +229,52 @@ class Model(BaseModel):
         fine = sampling.accumulate(rgbs, z, weights, self.white_bg)
         return coarse, fine
 
+    # Known libtpu trap (tools/isolate_nerf8192.py, round 2): the f32
+    # XLA fallback (fused_mlp=False AND bf16_big_chains=False) hits a
+    # compiler RET_CHECK at n_rays=8192 train dispatches; <=4096 works,
+    # and both the fused kernel and the bf16 XLA path are fine at 8192.
+    F32_FALLBACK_RAY_LIMIT = 4096
+
+    def _train_ray_limit(self, n_rays):
+        """Ray cap per train dispatch, or None when no cap applies."""
+        if self.fused_mlp or self.big_chain_dtype is not None:
+            return None
+        if n_rays <= self.F32_FALLBACK_RAY_LIMIT:
+            return None
+        return self.F32_FALLBACK_RAY_LIMIT
+
+    def _render_rays_train_chunked(self, params, rayo, rayd, key, chunk):
+        """Auto-chunks a train-mode render into <=chunk-ray dispatches
+        (lax.map, per-chunk RNG keys) so the f32 XLA fallback can never
+        user-trigger the 8192-ray libtpu crash documented in
+        tools/isolate_nerf8192.py."""
+        n = rayo.shape[0]
+        n_chunks = -(-n // chunk)
+        pad = n_chunks * chunk - n
+
+        def pad_to(x):
+            return jnp.concatenate(
+                [x, jnp.repeat(x[-1:], pad, axis=0)], axis=0) if pad else x
+
+        rayo_c = pad_to(rayo).reshape(n_chunks, chunk, 3)
+        rayd_c = pad_to(rayd).reshape(n_chunks, chunk, 3)
+        if key is None:  # train steps always pass one; belt and braces
+            key = jax.random.PRNGKey(0)
+        keys = jax.random.split(key, n_chunks)
+
+        def f(args):
+            o, d, k = args
+            return self.render_rays(params, o, d, mode='train', key=k)
+
+        coarse, fine = jax.lax.map(f, (rayo_c, rayd_c, keys))
+
+        def unchunk(tree):
+            return jax.tree_util.tree_map(
+                lambda x: x.reshape((n_chunks * chunk,) + x.shape[2:])[:n],
+                tree)
+
+        return unchunk(coarse), unchunk(fine)
+
     def _render_rays_chunked(self, params, rayo, rayd, mode, key):
         """lax.map over static ray chunks for full-image evaluation."""
         n = rayo.shape[0]
@@ -262,8 +308,17 @@ class Model(BaseModel):
         self._validate_mode(mode)
         rayo, rayd, rgb = batch['rayo'], batch['rayd'], batch['rgb']
         if mode == 'train':
-            coarse, fine = self.render_rays(
-                params, rayo, rayd, mode=mode, key=key)
+            limit = self._train_ray_limit(rayo.shape[0])
+            if limit is not None:
+                logger.warn(
+                    "f32 XLA fallback at n_rays=%d: auto-chunking train "
+                    "dispatches to %d rays (libtpu RET_CHECK guard, see "
+                    "tools/isolate_nerf8192.py)", rayo.shape[0], limit)
+                coarse, fine = self._render_rays_train_chunked(
+                    params, rayo, rayd, key, limit)
+            else:
+                coarse, fine = self.render_rays(
+                    params, rayo, rayd, mode=mode, key=key)
         else:
             coarse, fine = self._render_rays_chunked(
                 params, rayo, rayd, mode, key)

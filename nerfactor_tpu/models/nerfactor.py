@@ -136,6 +136,11 @@ class Model(ShapeModel):
         """Learned BRDF prior config (frozen; nerfactor.py:36-42,
         58-60)."""
         self.pred_brdf = config.getboolean('pred_brdf')
+        # Reference semantics hard-fail on a missing sub-model ckpt
+        # (util/io.py:36-45 restore); random-init fallback is opt-in
+        # for self-contained harnesses (bench.py, __graft_entry__)
+        self.allow_missing_ckpt = config.getboolean(
+            'allow_missing_ckpt', fallback=False)
         self.brdf_model_ckpt = config.get('brdf_model_ckpt')
         self.config_brdf = self._load_sub_config(self.brdf_model_ckpt)
         self.z_dim = self.config_brdf.getint('z_dim')
@@ -263,9 +268,18 @@ class Model(ShapeModel):
                     'brdf_out': restored['brdf_out'],
                     'latent_code': restored['latent_code']}
         except FileNotFoundError:
+            if not self.allow_missing_ckpt:
+                raise FileNotFoundError(
+                    "BRDF prior checkpoint not found: %s. The joint "
+                    "stage would silently train against a RANDOM frozen "
+                    "prior; fix brdf_model_ckpt, or set "
+                    "allow_missing_ckpt=True to opt into random init "
+                    "(self-contained harnesses only)."
+                    % self.brdf_model_ckpt)
             logger.warn(
                 "BRDF checkpoint %s not found; the prior stays at random "
-                "initialization", self.brdf_model_ckpt)
+                "initialization (allow_missing_ckpt=True)",
+                self.brdf_model_ckpt)
             k1, k2, k3 = jax.random.split(key, 3)
             return {
                 'brdf_mlp': self.specs['brdf_mlp'].init(k1),
@@ -280,9 +294,17 @@ class Model(ShapeModel):
             return ckptutil.restore_trained_params(
                 self.shape_model_ckpt, template, self.config_shape)
         except FileNotFoundError:
+            if not self.allow_missing_ckpt:
+                raise FileNotFoundError(
+                    "Shape checkpoint not found: %s (shape_mode=%s needs "
+                    "the pre-trained shape MLPs). Fix shape_model_ckpt, "
+                    "or set allow_missing_ckpt=True to opt into random "
+                    "init (self-contained harnesses only)."
+                    % (self.shape_model_ckpt, self.shape_mode))
             logger.warn(
                 "Shape checkpoint %s not found; shape MLPs stay at random "
-                "initialization", self.shape_model_ckpt)
+                "initialization (allow_missing_ckpt=True)",
+                self.shape_model_ckpt)
             return None
 
     def needs_dw_false_keys(self):
