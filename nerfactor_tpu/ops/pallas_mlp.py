@@ -60,7 +60,9 @@ the earlier row-major attempts, kept for the record:
     transpose-sequence RET_CHECK (use dot_general dimension numbers).
 """
 
+import contextlib
 import functools
+import os
 from collections import namedtuple
 
 import jax
@@ -625,6 +627,45 @@ def _kernel_matmul_dtype_from_env():
 
 
 KERNEL_MATMUL_DTYPE = _kernel_matmul_dtype_from_env()
+
+# True when the user explicitly exported NERFACTOR_KERNEL_MATMUL_DTYPE:
+# the env override then wins over per-call compute_dtype (the
+# whole-program experimentation knob used by the quality A/Bs)
+KERNEL_DTYPE_FORCED = bool(
+    os.environ.get('NERFACTOR_KERNEL_MATMUL_DTYPE'))
+
+
+@contextlib.contextmanager
+def _kernel_dtype_scope(kdtype):
+    """Temporarily pins the in-kernel MXU/stash dtype while ONE
+    fwd/bwd impl function traces its pallas_call (the kernel bodies and
+    block pickers read the module global at trace time).
+
+    ``kdtype``: 'default' leaves the env-selected global untouched;
+    otherwise jnp.bfloat16 or None (TRUE-f32 mode). This is what makes
+    per-call ``compute_dtype`` (and thus the ``f32_chains`` config pins)
+    real on the fused TPU path -- previously they only affected the XLA
+    reference path (round-3 fix; see QUALITY.md round 3)."""
+    global KERNEL_MATMUL_DTYPE
+    old = KERNEL_MATMUL_DTYPE
+    if kdtype != 'default' and not KERNEL_DTYPE_FORCED:
+        KERNEL_MATMUL_DTYPE = kdtype
+    try:
+        yield
+    finally:
+        KERNEL_MATMUL_DTYPE = old
+
+
+def kernel_dtype_for(compute_dtype):
+    """Maps a chain's compute_dtype to the fused kernel dtype:
+    bf16 -> bf16 MXU passes (the shipping perf mode), None -> TRUE-f32
+    kernels (HIGHEST-precision matmuls + f32 stashes)."""
+    if compute_dtype is None:
+        return None
+    if jnp.dtype(compute_dtype) == jnp.dtype(jnp.bfloat16):
+        return jnp.bfloat16
+    raise ValueError(
+        'Unsupported kernel compute_dtype: %r' % (compute_dtype,))
 
 
 def _bytes_per_feat():
@@ -1628,28 +1669,32 @@ def _pallas_backward_trig_t(plan, x, params, dy, trig, needs_dx,
 TRANSPOSED_BOUNDARY = True
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def _fused_chain_impl(plan, needs_dx, needs_dw, transposed, x, params):
-    if _last_skip(plan):
-        return _pallas_forward(plan, x, params)
-    if transposed:
-        y, _ = _pallas_forward_trig_t(plan, x, params)
-    else:
-        y, _ = _pallas_forward_trig(plan, x, params)
-    return y
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _fused_chain_impl(plan, needs_dx, needs_dw, transposed, kdtype, x,
+                      params):
+    with _kernel_dtype_scope(kdtype):
+        if _last_skip(plan):
+            return _pallas_forward(plan, x, params)
+        if transposed:
+            y, _ = _pallas_forward_trig_t(plan, x, params)
+        else:
+            y, _ = _pallas_forward_trig(plan, x, params)
+        return y
 
 
-def _fused_chain_impl_fwd(plan, needs_dx, needs_dw, transposed, x,
-                          params):
-    if _last_skip(plan):
-        return _pallas_forward(plan, x, params), (x, params, None)
-    fwd = _pallas_forward_trig_t if transposed else _pallas_forward_trig
-    y, trig = fwd(plan, x, params, with_stash=True)
-    return y, (x, params, trig)
+def _fused_chain_impl_fwd(plan, needs_dx, needs_dw, transposed, kdtype,
+                          x, params):
+    with _kernel_dtype_scope(kdtype):
+        if _last_skip(plan):
+            return _pallas_forward(plan, x, params), (x, params, None)
+        fwd = _pallas_forward_trig_t if transposed \
+            else _pallas_forward_trig
+        y, trig = fwd(plan, x, params, with_stash=True)
+        return y, (x, params, trig)
 
 
-def _fused_chain_impl_bwd(plan, needs_dx, needs_dw, transposed, res,
-                          dy):
+def _fused_chain_impl_bwd(plan, needs_dx, needs_dw, transposed, kdtype,
+                          res, dy):
     x, params, trig = res
     if not needs_dx and not needs_dw:
         # Fully frozen chain feeding no trainable inputs (e.g. the
@@ -1657,17 +1702,18 @@ def _fused_chain_impl_bwd(plan, needs_dx, needs_dw, transposed, res,
         # backward kernel at all
         return jnp.zeros_like(x), [
             (jnp.zeros_like(w), jnp.zeros_like(b)) for w, b in params]
-    if _last_skip(plan):
-        dx, dparams = _pallas_backward(plan, x, params, dy)
-        return dx, dparams
-    if transposed:
-        dx, dparams = _pallas_backward_trig_t(
-            plan, x, params, dy, trig, needs_dx, needs_dw=needs_dw)
-    else:
-        # Row-major legacy path has no needs_dw fast path; real dW
-        # gradients are a correct superset of the declared need
-        dx, dparams = _pallas_backward_trig(
-            plan, x, params, dy, trig, needs_dx)
+    with _kernel_dtype_scope(kdtype):
+        if _last_skip(plan):
+            dx, dparams = _pallas_backward(plan, x, params, dy)
+            return dx, dparams
+        if transposed:
+            dx, dparams = _pallas_backward_trig_t(
+                plan, x, params, dy, trig, needs_dx, needs_dw=needs_dw)
+        else:
+            # Row-major legacy path has no needs_dw fast path; real dW
+            # gradients are a correct superset of the declared need
+            dx, dparams = _pallas_backward_trig(
+                plan, x, params, dy, trig, needs_dx)
     if dx is None:
         # Caller declared x gradient-free (needs_dx=False)
         dx = jnp.zeros_like(x)
@@ -1678,11 +1724,11 @@ _fused_chain_impl.defvjp(_fused_chain_impl_fwd, _fused_chain_impl_bwd)
 
 
 def _fused_chain(plan, x, params, needs_dx=True, needs_dw=True,
-                 transposed=None):
+                 transposed=None, kernel_dtype='default'):
     if transposed is None:
         transposed = TRANSPOSED_BOUNDARY
     return _fused_chain_impl(plan, needs_dx, needs_dw,
-                             bool(transposed), x, params)
+                             bool(transposed), kernel_dtype, x, params)
 
 
 def apply_chain(plan, x, params, force_reference=False,
@@ -1693,9 +1739,14 @@ def apply_chain(plan, x, params, force_reference=False,
       plan: a :func:`make_plan` result (static).
       x: (N, raw_dim) raw inputs (pre-embedding).
       params: list of (w, b) tuples over ALL layers (hidden + head).
-      compute_dtype: optional reduced activation dtype (reference path
-        only; the Pallas kernel keeps activations in VMEM, where the
-        traffic argument for bf16 does not apply).
+      compute_dtype: per-call precision, honored on BOTH paths
+        (round 3): on the XLA reference path it is the activation
+        dtype; on the fused path bf16 selects bf16 MXU passes (the
+        shipping perf mode) and None selects TRUE-f32 kernels
+        (HIGHEST-precision matmuls + f32 stashes). This is what makes
+        the ``f32_chains`` config pins real on TPU. An explicit
+        NERFACTOR_KERNEL_MATMUL_DTYPE env override still wins globally
+        (the whole-program A/B knob).
       needs_dx: pass False when x is data (requires no gradient); the
         kernel backward then skips the entire input-cotangent branch
         and returns zeros for dx. Must NOT be False if the chain input
@@ -1713,7 +1764,8 @@ def apply_chain(plan, x, params, force_reference=False,
         return chain_reference(plan, x, params,
                                compute_dtype=compute_dtype)
     return _fused_chain(plan, x, params, needs_dx=needs_dx,
-                        needs_dw=needs_dw)
+                        needs_dw=needs_dw,
+                        kernel_dtype=kernel_dtype_for(compute_dtype))
 
 
 def plan_from_specs(embed_parts, mlp_spec, out_spec):

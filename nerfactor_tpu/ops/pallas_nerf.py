@@ -362,22 +362,26 @@ def _backward(nplan, pts, views, params, drgb, dsigma, stash):
     return _unflatten_nerf_dparams_t(nplan, outs)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _nerf_fused(nplan, pts, views, params):
-    rgb, sigma, _ = _forward(nplan, pts, views, params)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _nerf_fused(nplan, kdtype, pts, views, params):
+    with pm._kernel_dtype_scope(kdtype):
+        rgb, sigma, _ = _forward(nplan, pts, views, params)
     return rgb, sigma
 
 
-def _nerf_fused_fwd(nplan, pts, views, params):
-    rgb, sigma, stash = _forward(nplan, pts, views, params,
-                                 with_stash=True)
+def _nerf_fused_fwd(nplan, kdtype, pts, views, params):
+    with pm._kernel_dtype_scope(kdtype):
+        rgb, sigma, stash = _forward(nplan, pts, views, params,
+                                     with_stash=True)
     return (rgb, sigma), (pts, views, params, stash)
 
 
-def _nerf_fused_bwd(nplan, res, cot):
+def _nerf_fused_bwd(nplan, kdtype, res, cot):
     pts, views, params, stash = res
     drgb, dsigma = cot
-    dparams = _backward(nplan, pts, views, params, drgb, dsigma, stash)
+    with pm._kernel_dtype_scope(kdtype):
+        dparams = _backward(nplan, pts, views, params, drgb, dsigma,
+                            stash)
     # pts/views are data (no gradients flow into ray geometry at train
     # time); declared by construction, like apply_chain(needs_dx=False)
     return jnp.zeros_like(pts), jnp.zeros_like(views), tuple(dparams)
@@ -415,4 +419,7 @@ def apply_nerf(nplan, pts, views, params, force_reference=False,
                            and not pm.INTERPRET):
         return nerf_reference(nplan, pts, views, params,
                               compute_dtype=compute_dtype)
-    return _nerf_fused(nplan, pts, views, tuple(params))
+    # Per-call kernel dtype (round 3): compute_dtype=None runs the
+    # fused NeRF kernel in TRUE-f32 mode, bf16 in the shipping mode
+    return _nerf_fused(nplan, pm.kernel_dtype_for(compute_dtype), pts,
+                       views, tuple(params))

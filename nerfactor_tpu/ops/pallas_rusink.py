@@ -277,19 +277,22 @@ def _pallas_bwd(plan, z, ldir, vdir, params, dy):
     return tuple(o[:, :n].T for o in outs)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _fused(plan, z, ldir, vdir, params):
-    return _pallas_fwd(plan, z, ldir, vdir, params)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fused(plan, kdtype, z, ldir, vdir, params):
+    with pm._kernel_dtype_scope(kdtype):
+        return _pallas_fwd(plan, z, ldir, vdir, params)
 
 
-def _fused_fwd(plan, z, ldir, vdir, params):
-    y = _pallas_fwd(plan, z, ldir, vdir, params)
+def _fused_fwd(plan, kdtype, z, ldir, vdir, params):
+    with pm._kernel_dtype_scope(kdtype):
+        y = _pallas_fwd(plan, z, ldir, vdir, params)
     return y, (z, ldir, vdir, params)
 
 
-def _fused_bwd(plan, res, dy):
+def _fused_bwd(plan, kdtype, res, dy):
     z, ldir, vdir, params = res
-    dz, dl, dv = _pallas_bwd(plan, z, ldir, vdir, params, dy)
+    with pm._kernel_dtype_scope(kdtype):
+        dz, dl, dv = _pallas_bwd(plan, z, ldir, vdir, params, dy)
     dparams = tuple((jnp.zeros_like(w), jnp.zeros_like(b))
                     for w, b in params)
     return dz, dl, dv, dparams
@@ -317,4 +320,7 @@ def apply_rusink_chain(plan, z, ldir, vdir, params,
                            and not pm.INTERPRET):
         return reference(plan, z, ldir, vdir, params,
                          compute_dtype=compute_dtype)
-    return _fused(plan, z, ldir, vdir, tuple(params))
+    # Per-call kernel dtype (round 3): the rusink trig itself always
+    # runs f32 phases; compute_dtype selects the MLP segments' MXU mode
+    return _fused(plan, pm.kernel_dtype_for(compute_dtype), z, ldir,
+                  vdir, tuple(params))

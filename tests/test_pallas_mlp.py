@@ -255,6 +255,39 @@ def test_bf16_compute_dtype_close_to_f32(plan):
         assert np.isfinite(np.asarray(b)).all()
 
 
+@pytest.mark.parametrize('plan', PLANS[:2])
+def test_per_call_kernel_dtype_overrides_global(plan):
+    """Per-call compute_dtype must reach the fused kernels (round 3):
+    with the module global at the TPU-shipping bf16 default, an
+    f32-pinned call (compute_dtype=None, what f32_chains produces) must
+    run TRUE-f32 kernels and match the f32 reference exactly, while a
+    bf16 call stays off it by bf16 quantization."""
+    params = make_params(plan)
+    x = jnp.asarray(np.random.RandomState(11).randn(
+        64, pm.raw_dim(plan)), jnp.float32)
+    ref = pm.chain_reference(plan, x, params)
+    pm.KERNEL_MATMUL_DTYPE = jnp.bfloat16  # simulate the TPU default
+    try:
+        pinned = pm._fused_chain(
+            plan, x, params, kernel_dtype=pm.kernel_dtype_for(None))
+        bf16 = pm._fused_chain(
+            plan, x, params,
+            kernel_dtype=pm.kernel_dtype_for(jnp.bfloat16))
+    finally:
+        pm.KERNEL_MATMUL_DTYPE = None
+    np.testing.assert_allclose(np.asarray(pinned), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    assert not np.allclose(np.asarray(bf16), np.asarray(ref),
+                           rtol=1e-5, atol=1e-5)
+
+
+def test_kernel_dtype_for_mapping():
+    assert pm.kernel_dtype_for(None) is None
+    assert pm.kernel_dtype_for(jnp.bfloat16) == jnp.bfloat16
+    with pytest.raises(ValueError, match='compute_dtype'):
+        pm.kernel_dtype_for(jnp.float16)
+
+
 def test_kernel_under_jit_and_vjp_in_train_shape():
     """The exact shape-model lvis configuration, under jit."""
     plan = pm.make_plan([(3, 10), (3, 4)], (128,) * 4 + (1,),

@@ -66,7 +66,7 @@ def test_forward_matches_reference(nplan, n):
     pts = jnp.asarray(rng.randn(n, 3), jnp.float32)
     views = jnp.asarray(rand_dirs(rng, n))
     rgb_r, sigma_r = pn.nerf_reference(nplan, pts, views, params)
-    rgb_k, sigma_k = pn._nerf_fused(nplan, pts, views, params)
+    rgb_k, sigma_k = pn._nerf_fused(nplan, 'default', pts, views, params)
     np.testing.assert_allclose(np.asarray(rgb_k), np.asarray(rgb_r),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(sigma_k), np.asarray(sigma_r),
@@ -90,7 +90,9 @@ def test_weight_gradients_match_reference(nplan):
         return f
 
     g_r = jax.grad(loss(pn.nerf_reference))(params)
-    g_k = jax.grad(loss(pn._nerf_fused))(params)
+    g_k = jax.grad(loss(
+        lambda np_, p, v, par: pn._nerf_fused(np_, 'default', p, v,
+                                              par)))(params)
     for a, b in zip(jax.tree_util.tree_leaves(g_r),
                     jax.tree_util.tree_leaves(g_k)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),

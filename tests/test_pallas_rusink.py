@@ -60,7 +60,7 @@ def test_rusink_rows_match_oracle():
 def test_forward_matches_reference():
     z, ldir, vdir = make_inputs()
     plan, params = make_plan_params()
-    y_f = pr._fused(plan, z, ldir, vdir, tuple(params))
+    y_f = pr._fused(plan, 'default', z, ldir, vdir, tuple(params))
     y_r = pr.reference(plan, z, ldir, vdir, params)
     np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_r),
                                rtol=2e-4, atol=2e-4)
@@ -75,7 +75,7 @@ def test_gradients_match_reference():
                     jnp.float32)
 
     def loss_f(z_, l_, v_):
-        return jnp.sum(w * pr._fused(plan, z_, l_, v_, tuple(params)))
+        return jnp.sum(w * pr._fused(plan, 'default', z_, l_, v_, tuple(params)))
 
     def loss_r(z_, l_, v_):
         return jnp.sum(w * pr.reference(plan, z_, l_, v_, params))
@@ -97,7 +97,7 @@ def test_gradients_finite_at_degeneracies():
     z = jnp.zeros((2, 3), jnp.float32)
 
     def loss(z_, l_, v_):
-        return jnp.sum(pr._fused(plan, z_, l_, v_, tuple(params)))
+        return jnp.sum(pr._fused(plan, 'default', z_, l_, v_, tuple(params)))
 
     g = jax.grad(loss, argnums=(0, 1, 2))(z, same, same)
     for a in g:
