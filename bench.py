@@ -31,7 +31,14 @@ import numpy as np
 BASELINE_RAYS_PER_SEC = 2048.0
 N_RAYS = 1024
 WARMUP_STEPS = 3
-BENCH_STEPS = 20
+# Enough scan-dispatches (20 x scan_steps=8 -> 160 optimizer steps)
+# that the host's run-ahead keeps the device pipeline FULL, as real
+# training does (trainvali streams dispatches continuously). With only
+# 2-3 timed dispatches the un-hidden per-dispatch tunnel latency
+# (~10 ms RTT) inflates ms/step by ~1 ms (measured: 3 dispatches
+# report ~9.5 ms/step; 32 dispatches report ~8.6 ms/step, and the
+# per-op device profile sums to ~8.5 ms/step -- tools/profile_joint).
+BENCH_STEPS = 160
 
 
 def main():

@@ -68,32 +68,29 @@ def main():
     assert paths, 'no xplane captured'
     space = xplane_pb2.XSpace()
     space.ParseFromString(open(paths[0], 'rb').read())
-    totals = {}
+    raw = {}
     for plane in space.planes:
         if 'TPU' not in plane.name and 'tpu' not in plane.name:
             continue
         meta = plane.event_metadata
         for line in plane.lines:
-            if 'XLA Op' not in line.name and 'Ops' not in line.name \
-                    and line.name != '':
-                # device op lines vary by runtime; keep op-ish lines
-                pass
             for ev in line.events:
                 name = meta[ev.metadata_id].name
-                totals[(plane.name, line.name, name)] = totals.get(
-                    (plane.name, line.name, name), 0.0) \
-                    + ev.duration_ps / 1e9
-    # Collapse to op name on the busiest line type
+                key = (plane.name, line.name, name)
+                raw[key] = raw.get(key, 0.0) + ev.duration_ps / 1e9
     by_line = {}
-    for (pl, ln, name), ms in totals.items():
-        by_line.setdefault((pl, ln), 0.0)
-        by_line[(pl, ln)] += ms
+    for (pl, ln, _), ms in raw.items():
+        by_line[(pl, ln)] = by_line.get((pl, ln), 0.0) + ms
     print('lines:', json.dumps(
         {('%s/%s' % k): round(v, 2) for k, v in sorted(
             by_line.items(), key=lambda kv: -kv[1])[:6]}))
-    busiest = max(by_line.items(), key=lambda kv: kv[1])[0]
-    totals = {name: ms for (pl, ln, name), ms in totals.items()
-              if (pl, ln) == busiest}
+    # Aggregate the synchronous per-op line ("XLA Ops"); the async
+    # line double-counts overlapping copy waits
+    totals = {}
+    for (pl, ln, name), ms in raw.items():
+        if ln == 'XLA Ops':
+            totals[name] = totals.get(name, 0.0) + ms
+    assert totals, sorted(by_line)
     n_steps = args.dispatches * args.scan
     rows = sorted(totals.items(), key=lambda kv: -kv[1])[:args.top]
     print(json.dumps({'ms_per_step_device_total':
