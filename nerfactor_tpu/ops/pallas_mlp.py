@@ -1328,9 +1328,12 @@ def _unflatten_dparams_t(plan, dflat):
     return out
 
 
-def _fwd_layers_trig_t(plan, x, trig, w_refs, keep_hidden=False):
+def _fwd_layers_trig_t(plan, x, trig, w_refs, keep_hidden=False,
+                       shared_adds=None):
     """Layer chain in the transposed world: every tensor is
-    (features, block)."""
+    (features, block). ``shared_adds`` maps an embedding-consumer layer
+    index to a precomputed (width_i, block) pre-activation contribution
+    (the per-ray shared-input path, see apply_chain_shared_rays)."""
     seg, _ = _seg_index_map(plan)
     h, posts = None, []
     for i, act in enumerate(plan.acts):
@@ -1346,6 +1349,8 @@ def _fwd_layers_trig_t(plan, x, trig, w_refs, keep_hidden=False):
                 pre = pre + _kdot(w_refs[s['trig']][:], trig)
         else:
             pre = _kdot(w_refs[s['h']][:], h)
+        if shared_adds is not None and i in shared_adds:
+            pre = pre + shared_adds[i]
         pre = pre + w_refs[s['b']][:]
         h = _act(act, pre)
         if keep_hidden:
@@ -1383,12 +1388,15 @@ def _fwd_kernel_trig_t(plan, with_stash, use_ladder, x_ref, *refs):
 
 
 def _bwd_layers_trig_t(plan, x, trig, w_refs, dwb_refs, posts, d_h,
-                       needs_dx, needs_dw=True):
+                       needs_dx, needs_dw=True, collect_dpre=None):
     """Reverse walk of a transposed layer chain. ``d_h`` is the
     cotangent of the LAST layer's post-activation; ``dwb_refs`` (same
     layout as the w_refs segments) receive += accumulations when
     ``needs_dw``. Returns (d_x, d_trig) accumulated over all consumer
-    layers (None unless ``needs_dx``). Shared by the generic chain
+    layers (None unless ``needs_dx``). ``collect_dpre`` (a dict) is
+    filled with each embedding-consumer layer's pre-activation
+    cotangent -- the per-ray shared-input path turns these into shared
+    weight gradients outside the kernel. Shared by the generic chain
     kernel and the NeRF trunk."""
     t = trig_dim(plan)
     seg, _ = _seg_index_map(plan)
@@ -1398,6 +1406,8 @@ def _bwd_layers_trig_t(plan, x, trig, w_refs, dwb_refs, posts, d_h,
     for i in range(len(plan.widths) - 1, -1, -1):
         s = seg[i]
         d_pre = _act_bwd(plan.acts[i], posts[i], d_h)
+        if collect_dpre is not None and 'x' in s:
+            collect_dpre[i] = d_pre
         if needs_dw:
             dwb_refs[s['b']][:] += jnp.sum(d_pre, axis=1, keepdims=True)
         if 'trig' in s:
@@ -1766,6 +1776,335 @@ def apply_chain(plan, x, params, force_reference=False,
     return _fused_chain(plan, x, params, needs_dx=needs_dx,
                         needs_dw=needs_dw,
                         kernel_dtype=kernel_dtype_for(compute_dtype))
+
+
+# ------ per-ray-shared chains (the lvis-style N x L fan-out) ------
+#
+# The lvis chain evaluates embed([xyz | ldir]) -> MLP at N*L rows, but
+# the xyz half of every embedding-consumer layer depends only on the
+# RAY (N-scale): its pre-activation contribution is identical across a
+# ray's L light directions. This path computes those contributions ONCE
+# per ray at the XLA level (tiny (N, 63) @ (63, 128) matmuls) and feeds
+# them to a light-major 2D-grid kernel: grid = (ray_blocks, L); for a
+# fixed ray block the (G, block) shared operand stays resident in VMEM
+# across the whole inner light loop, and the backward accumulates the
+# shared pre-activation cotangents the same way, so the shared weight
+# gradients finish as N-scale matmuls outside the kernel. Removes the
+# xyz share of the first/skip-layer matmuls, their dW accumulation, and
+# 70% of the trig-ladder transcendentals from the N*L hot loop.
+# (A ray-major layout cannot express this: Mosaic requires 128-lane
+# block multiples, but one ray's L lanes per block would need a
+# (G, block/L) sub-128 shared block.)
+
+def _shared_consumer_layout(plan):
+    """Static layout of the shared contributions: [(layer, offset,
+    width)] and the total shared row count G."""
+    per = _shared_per_plan(plan)
+    seg, _ = _seg_index_map(per)
+    layout, off = [], 0
+    for i, s in enumerate(seg):
+        if 'x' in s:
+            layout.append((i, off, plan.widths[i]))
+            off += plan.widths[i]
+    return tuple(layout), off
+
+
+def _shared_per_plan(plan):
+    """The kernel-side plan: embed part 0 (the shared/ray part)
+    removed."""
+    assert len(plan.embed_parts) == 2, plan.embed_parts
+    assert not _last_skip(plan), "output-embed plans are not supported"
+    return make_plan([plan.embed_parts[1]], plan.widths, plan.acts,
+                     plan.skip_at)
+
+
+def _shared_embed_plan(plan):
+    return make_plan([plan.embed_parts[0]], (), (), ())
+
+
+def _split_params_shared(plan, params):
+    """Full (w, b) list -> (per-plan (w, b) list, [shared (D0e, w_i)
+    weight slices] in _shared_consumer_layout order)."""
+    d0, f0 = plan.embed_parts[0]
+    d0e = encoding.embed_dims(d0, f0) if f0 else d0
+    layout, _ = _shared_consumer_layout(plan)
+    consumers = {i for i, _, _ in layout}
+    per, shared = [], []
+    for i, (w, b) in enumerate(params):
+        if i in consumers:
+            hw = 0 if i == 0 else plan.widths[i - 1]
+            shared.append(w[hw:hw + d0e])
+            w = jnp.concatenate([w[:hw], w[hw + d0e:]], axis=0) \
+                if hw else w[d0e:]
+        per.append((w, b))
+    return per, shared
+
+
+def _merge_dparams_shared(plan, dper, dshared_ws):
+    """Inverse of _split_params_shared on gradients."""
+    layout, _ = _shared_consumer_layout(plan)
+    consumers = {i: j for j, (i, _, _) in enumerate(layout)}
+    out = []
+    for i, (dw, db) in enumerate(dper):
+        if i in consumers:
+            hw = 0 if i == 0 else plan.widths[i - 1]
+            ds = dshared_ws[consumers[i]]
+            dw = jnp.concatenate([dw[:hw], ds, dw[hw:]], axis=0)
+        out.append((dw, db))
+    return out
+
+
+def _pick_block_rays(per_plan, g, backward=False):
+    """Ray-block (lane) pick for the shared kernels: the standard
+    VMEM cost model plus the resident shared rows (and their cotangent
+    accumulator in the backward)."""
+    import os
+    name = ('NERFACTOR_SHARED_BLOCK_BWD' if backward
+            else 'NERFACTOR_SHARED_BLOCK_FWD')
+    env = os.environ.get(name)
+    pad8 = lambda d: max(8, -(-d) // 8 * 8)
+    maxw = max(pad8(w) for w in per_plan.widths)
+    t, raw = pad8(trig_dim(per_plan)), pad8(raw_dim(per_plan))
+    gp = pad8(g)
+    if backward:
+        feats = 2 * t + (len(per_plan.widths) + 5) * maxw + 2 * raw \
+            + 2 * gp + 64
+    else:
+        feats = t + 3 * maxw + raw + gp + 64
+    if env:
+        return _validated_env_block(name, env, feats=feats)
+    budget = 14 * 1024 * 1024
+    for block in (8192, 4096, 2048, 1024, 512, 256):
+        if feats * block * _bytes_per_feat() <= budget:
+            return block
+    return 128
+
+
+def _full_spec2(shape):
+    return pl.BlockSpec(shape, lambda i, j: (0,) * len(shape),
+                        memory_space=pltpu.VMEM)
+
+
+def _fwd_kernel_shared_t(per_plan, layout, x_ref, shared_ref, *refs):
+    y_ref = refs[-1]
+    w_refs = refs[:-1]
+    x = x_ref[:]
+    trig = _trig_ladder(per_plan, x).astype(_stash_dtype()) \
+        if trig_dim(per_plan) else None
+    shared = shared_ref[:]
+    adds = {i: shared[o:o + w, :] for i, o, w in layout}
+    h, _ = _fwd_layers_trig_t(per_plan, x, trig, w_refs,
+                              shared_adds=adds)
+    y_ref[:] = h
+
+
+def _bwd_kernel_shared_t(per_plan, layout, needs_dw, x_ref, dy_ref,
+                         shared_ref, *refs):
+    _, n_seg = _seg_index_map(per_plan)
+    w_refs = refs[:n_seg]
+    rest = refs[n_seg:]
+    dshared_ref = rest[0]
+    dwb_refs = rest[1:]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dshared_ref[:] = jnp.zeros(dshared_ref.shape, dshared_ref.dtype)
+
+    if needs_dw:
+        @pl.when(jnp.logical_and(pl.program_id(0) == 0,
+                                 pl.program_id(1) == 0))
+        def _():
+            for r in dwb_refs:
+                r[:] = jnp.zeros(r.shape, r.dtype)
+
+    x = x_ref[:]
+    trig = _trig_ladder(per_plan, x).astype(_stash_dtype()) \
+        if trig_dim(per_plan) else None
+    shared = shared_ref[:]
+    adds = {i: shared[o:o + w, :] for i, o, w in layout}
+    _, posts = _fwd_layers_trig_t(per_plan, x, trig, w_refs,
+                                  keep_hidden=True, shared_adds=adds)
+    dpre = {}
+    _bwd_layers_trig_t(per_plan, x, trig, w_refs, dwb_refs, posts,
+                       dy_ref[:], needs_dx=False, needs_dw=needs_dw,
+                       collect_dpre=dpre)
+    for i, o, w in layout:
+        dshared_ref[o:o + w, :] += dpre[i]
+
+
+def _shared_lm(arr, npad, block):
+    """(N, L, d) -> light-major transposed (d, L * npad) with ray
+    padding; column index = l * npad + ray."""
+    n, l, d = arr.shape
+    if npad != n:
+        arr = jnp.concatenate(
+            [arr, jnp.zeros((npad - n, l, d), arr.dtype)], axis=0)
+    return arr.transpose(2, 1, 0).reshape(d, l * npad)
+
+
+def _pallas_forward_shared_rays(plan, x_shared, x_per, params):
+    per_plan = _shared_per_plan(plan)
+    layout, g = _shared_consumer_layout(plan)
+    per_params, shared_ws = _split_params_shared(plan, params)
+    e_x = _embed(_shared_embed_plan(plan), x_shared)  # (N, D0e)
+    shared = jnp.concatenate(
+        [jnp.matmul(e_x, w, precision=_ref_prec(e_x, w))
+         for w in shared_ws], axis=1)  # (N, G)
+    n, l, d1 = x_per.shape
+    block = _clamp_block(_pick_block_rays(per_plan, g), n)
+    npad = -(-n // block) * block
+    rb = npad // block
+    xt = _shared_lm(x_per, npad, block)
+    st = jnp.concatenate(
+        [shared, jnp.zeros((npad - n, g), shared.dtype)], axis=0).T \
+        if npad != n else shared.T
+    flat = _flatten_params_t(per_plan, per_params)
+    od = out_dim(per_plan)
+    in_specs = [
+        pl.BlockSpec((d1, block), lambda i, j: (0, j * rb + i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((g, block), lambda i, j: (0, i),
+                     memory_space=pltpu.VMEM)]
+    in_specs += [_full_spec2(arr.shape) for arr in flat]
+    y = pl.pallas_call(
+        functools.partial(_fwd_kernel_shared_t, per_plan, layout),
+        grid=(rb, l),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((od, block), lambda i, j: (0, j * rb + i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((od, l * npad), jnp.float32),
+        interpret=INTERPRET,
+    )(xt, st, *flat)
+    y = y.reshape(od, l, npad).transpose(2, 1, 0)[:n]  # (N, L, od)
+    return y, (e_x, shared, per_params)
+
+
+def _pallas_backward_shared_rays(plan, x_shared, x_per, params, dy,
+                                 needs_dw):
+    per_plan = _shared_per_plan(plan)
+    layout, g = _shared_consumer_layout(plan)
+    per_params, shared_ws = _split_params_shared(plan, params)
+    e_x = _embed(_shared_embed_plan(plan), x_shared)
+    shared = jnp.concatenate(
+        [jnp.matmul(e_x, w, precision=_ref_prec(e_x, w))
+         for w in shared_ws], axis=1)
+    n, l, d1 = x_per.shape
+    block = _clamp_block(_pick_block_rays(per_plan, g, backward=True), n)
+    npad = -(-n // block) * block
+    rb = npad // block
+    xt = _shared_lm(x_per, npad, block)
+    dyt = _shared_lm(dy, npad, block)
+    st = jnp.concatenate(
+        [shared, jnp.zeros((npad - n, g), shared.dtype)], axis=0).T \
+        if npad != n else shared.T
+    flat = _flatten_params_t(per_plan, per_params)
+    od = out_dim(per_plan)
+    in_specs = [
+        pl.BlockSpec((d1, block), lambda i, j: (0, j * rb + i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((od, block), lambda i, j: (0, j * rb + i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((g, block), lambda i, j: (0, i),
+                     memory_space=pltpu.VMEM)]
+    in_specs += [_full_spec2(arr.shape) for arr in flat]
+    out_specs = [pl.BlockSpec((g, block), lambda i, j: (0, i),
+                              memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((g, npad), jnp.float32)]
+    if needs_dw:
+        for arr in flat:
+            out_specs.append(_full_spec2(arr.shape))
+            out_shapes.append(
+                jax.ShapeDtypeStruct(arr.shape, jnp.float32))
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel_shared_t, per_plan, layout,
+                          needs_dw),
+        grid=(rb, l),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=INTERPRET,
+    )(xt, dyt, st, *flat)
+    if not isinstance(outs, (list, tuple)):
+        outs = [outs]
+    d_shared = outs[0][:, :n].T  # (N, G)
+    if not needs_dw:
+        return [(jnp.zeros_like(w), jnp.zeros_like(b))
+                for w, b in params]
+    dper = _unflatten_dparams_t(per_plan, outs[1:])
+    # Finish the shared weight gradients at N scale:
+    # dW_shared_i = e_x^T @ d_shared_i
+    dshared_ws = []
+    for _, o, w in layout:
+        ds = d_shared[:, o:o + w]
+        dshared_ws.append(jax.lax.dot_general(
+            e_x, ds, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_ref_prec(e_x, ds)))
+    return _merge_dparams_shared(plan, dper, dshared_ws)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _shared_chain_impl(plan, needs_dw, kdtype, x_shared, x_per, params):
+    with _kernel_dtype_scope(kdtype):
+        y, _ = _pallas_forward_shared_rays(plan, x_shared, x_per,
+                                           params)
+    return y
+
+
+def _shared_chain_impl_fwd(plan, needs_dw, kdtype, x_shared, x_per,
+                           params):
+    with _kernel_dtype_scope(kdtype):
+        y, _ = _pallas_forward_shared_rays(plan, x_shared, x_per,
+                                           params)
+    return y, (x_shared, x_per, params)
+
+
+def _shared_chain_impl_bwd(plan, needs_dw, kdtype, res, dy):
+    x_shared, x_per, params = res
+    if not needs_dw:
+        # Inputs are data by contract; fully frozen chain -> no
+        # backward kernel at all
+        return (jnp.zeros_like(x_shared), jnp.zeros_like(x_per),
+                tuple((jnp.zeros_like(w), jnp.zeros_like(b))
+                      for w, b in params))
+    with _kernel_dtype_scope(kdtype):
+        dparams = _pallas_backward_shared_rays(
+            plan, x_shared, x_per, params, dy, needs_dw)
+    return (jnp.zeros_like(x_shared), jnp.zeros_like(x_per),
+            tuple(tuple(wb) for wb in dparams))
+
+
+_shared_chain_impl.defvjp(_shared_chain_impl_fwd, _shared_chain_impl_bwd)
+
+
+def apply_chain_shared_rays(plan, x_shared, x_per, params,
+                            force_reference=False, compute_dtype=None,
+                            needs_dw=True):
+    """Fused chain over an (N, L) fan-out whose embed part 0 depends
+    only on the ray: x_shared (N, d0), x_per (N, L, d1) ->
+    (N, L, out). Inputs are data by contract (needs_dx=False); set
+    needs_dw=False for fully frozen chains.
+
+    On TPU this runs the light-major shared-ray kernels (see the
+    section comment); elsewhere it falls back to the exact dense
+    reference program.
+    """
+    params = [(w, b) for w, b in params]
+    if force_reference or (jax.default_backend() != 'tpu'
+                           and not INTERPRET):
+        n, l, d1 = x_per.shape
+        x_cat = jnp.concatenate(
+            [jnp.broadcast_to(
+                x_shared[:, None, :],
+                (n, l, x_shared.shape[1])).reshape(n * l, -1),
+             x_per.reshape(n * l, d1)], axis=1)
+        y = chain_reference(plan, x_cat, params,
+                            compute_dtype=compute_dtype)
+        return y.reshape(n, l, -1)
+    return _shared_chain_impl(plan, needs_dw,
+                              kernel_dtype_for(compute_dtype),
+                              x_shared, x_per,
+                              tuple((w, b) for w, b in params))
 
 
 def plan_from_specs(embed_parts, mlp_spec, out_spec):

@@ -288,6 +288,89 @@ def test_kernel_dtype_for_mapping():
         pm.kernel_dtype_for(jnp.float16)
 
 
+SHARED_PLANS = [
+    # lvis-shaped: xyz posenc + ldir posenc, mid skip, sigmoid head
+    pm.make_plan([(3, 10), (3, 4)], (16, 16, 16, 1),
+                 ('relu', 'relu', 'relu', 'sigmoid'), (1,)),
+    # no skip
+    pm.make_plan([(3, 2), (3, 2)], (16, 3), ('relu', None), ()),
+]
+
+
+@pytest.mark.parametrize('plan', SHARED_PLANS)
+@pytest.mark.parametrize('n_l', [(40, 32), (128, 24)])
+def test_shared_rays_forward_matches_dense(plan, n_l):
+    """apply_chain_shared_rays (per-ray xyz contributions + light-major
+    2D-grid kernel) must match the dense concat program exactly in f32
+    (round 3; ray padding exercised by n=40)."""
+    n, l = n_l
+    params = make_params(plan)
+    rng = np.random.RandomState(3)
+    xs = jnp.asarray(rng.randn(n, plan.embed_parts[0][0]), jnp.float32)
+    xp = jnp.asarray(rng.randn(n, l, plan.embed_parts[1][0]),
+                     jnp.float32)
+    ref = pm.apply_chain_shared_rays(plan, xs, xp, params,
+                                     force_reference=True)
+    out = pm._shared_chain_impl(plan, True, 'default', xs, xp,
+                                tuple(params))
+    assert out.shape == (n, l, pm.out_dim(plan))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize('plan', SHARED_PLANS)
+def test_shared_rays_weight_grads_match_dense(plan):
+    n, l = 40, 32
+    params = tuple(make_params(plan, seed=5))
+    rng = np.random.RandomState(6)
+    xs = jnp.asarray(rng.randn(n, plan.embed_parts[0][0]), jnp.float32)
+    xp = jnp.asarray(rng.randn(n, l, plan.embed_parts[1][0]),
+                     jnp.float32)
+    co = jnp.asarray(rng.randn(n, l, pm.out_dim(plan)), jnp.float32)
+
+    def loss(fn):
+        return lambda p: jnp.sum(fn(p) * co)
+
+    g_ref = jax.grad(loss(lambda p: pm.apply_chain_shared_rays(
+        plan, xs, xp, p, force_reference=True)))(params)
+    g_k = jax.grad(loss(lambda p: pm._shared_chain_impl(
+        plan, True, 'default', xs, xp, p)))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_k)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_shared_rays_needs_dw_false_zero_grads():
+    plan = SHARED_PLANS[0]
+    params = tuple(make_params(plan))
+    rng = np.random.RandomState(7)
+    xs = jnp.asarray(rng.randn(16, 3), jnp.float32)
+    xp = jnp.asarray(rng.randn(16, 8, 3), jnp.float32)
+
+    def loss(p):
+        return jnp.sum(pm._shared_chain_impl(
+            plan, False, 'default', xs, xp, p) ** 2)
+
+    g = jax.grad(loss)(params)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert not np.asarray(leaf).any()
+
+
+def test_shared_split_roundtrip():
+    """Weight split/merge must be exact inverses on the consumer
+    layers."""
+    plan = SHARED_PLANS[0]
+    params = make_params(plan, seed=9)
+    per, shared_ws = pm._split_params_shared(plan, params)
+    layout, g = pm._shared_consumer_layout(plan)
+    assert g == sum(w for _, _, w in layout)
+    merged = pm._merge_dparams_shared(plan, per, shared_ws)
+    for (aw, ab), (bw, bb) in zip(params, merged):
+        np.testing.assert_array_equal(np.asarray(aw), np.asarray(bw))
+        np.testing.assert_array_equal(np.asarray(ab), np.asarray(bb))
+
+
 def test_kernel_under_jit_and_vjp_in_train_shape():
     """The exact shape-model lvis configuration, under jit."""
     plan = pm.make_plan([(3, 10), (3, 4)], (128,) * 4 + (1,),
