@@ -282,31 +282,46 @@ def _render_pass_exr(scene, outpath, pass_name):
     view_layer = bpy.context.view_layer
     setattr(view_layer, 'use_pass_' + pass_name, True)
     film_old = scene.render.film_transparent
+    use_nodes_old = scene.use_nodes
     scene.render.film_transparent = True
     scene.use_nodes = True
     tree = scene.node_tree
-    for node in list(tree.nodes):
-        if node.name != 'Render Layers':
+    tmpdir = tempfile.mkdtemp(prefix='pass_')
+    added_nodes = []
+    try:
+        for node in list(tree.nodes):
+            if node.name != 'Render Layers':
+                tree.nodes.remove(node)
+        if 'Render Layers' not in tree.nodes:
+            tree.nodes.new('CompositorNodeRLayers')
+        rl = tree.nodes['Render Layers']
+        set_alpha = tree.nodes.new('CompositorNodeSetAlpha')
+        added_nodes.append(set_alpha)
+        tree.links.new(rl.outputs['Alpha'], set_alpha.inputs['Alpha'])
+        tree.links.new(rl.outputs[socket], set_alpha.inputs['Image'])
+        outnode = tree.nodes.new('CompositorNodeOutputFile')
+        added_nodes.append(outnode)
+        outnode.base_path = tmpdir + os.sep
+        outnode.format.file_format = 'OPEN_EXR'
+        outnode.format.color_depth = '32'
+        outnode.format.color_mode = 'RGBA'
+        tree.links.new(set_alpha.outputs['Image'],
+                       outnode.inputs['Image'])
+        scene.render.filepath = join(tmpdir, 'composite_discard')
+        bpy.ops.render.render(write_still=True)
+        frames = sorted(f for f in os.listdir(tmpdir)
+                        if f.endswith('.exr'))
+        assert frames, "FileOutput node wrote no EXR frame"
+        shutil.move(join(tmpdir, frames[0]), outpath)
+    finally:
+        # Leave no dangling SetAlpha/FileOutput tree behind: a regular
+        # render issued after this call would otherwise composite
+        # through it and write a wrong/black still
+        for node in added_nodes:
             tree.nodes.remove(node)
-    if 'Render Layers' not in tree.nodes:
-        tree.nodes.new('CompositorNodeRLayers')
-    rl = tree.nodes['Render Layers']
-    set_alpha = tree.nodes.new('CompositorNodeSetAlpha')
-    tree.links.new(rl.outputs['Alpha'], set_alpha.inputs['Alpha'])
-    tree.links.new(rl.outputs[socket], set_alpha.inputs['Image'])
-    outnode = tree.nodes.new('CompositorNodeOutputFile')
-    outnode.base_path = tempfile.mkdtemp(prefix='pass_') + os.sep
-    outnode.format.file_format = 'OPEN_EXR'
-    outnode.format.color_depth = '32'
-    outnode.format.color_mode = 'RGBA'
-    tree.links.new(set_alpha.outputs['Image'], outnode.inputs['Image'])
-    scene.render.filepath = join(outnode.base_path, 'composite_discard')
-    bpy.ops.render.render(write_still=True)
-    frames = sorted(f for f in os.listdir(outnode.base_path)
-                    if f.endswith('.exr'))
-    assert frames, "FileOutput node wrote no EXR frame"
-    shutil.move(join(outnode.base_path, frames[0]), outpath)
-    scene.render.film_transparent = film_old
+        scene.use_nodes = use_nodes_old
+        scene.render.film_transparent = film_old
+        shutil.rmtree(tmpdir, ignore_errors=True)
     return outpath
 
 

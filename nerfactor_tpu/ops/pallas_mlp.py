@@ -645,7 +645,14 @@ def _kernel_dtype_scope(kdtype):
     otherwise jnp.bfloat16 or None (TRUE-f32 mode). This is what makes
     per-call ``compute_dtype`` (and thus the ``f32_chains`` config pins)
     real on the fused TPU path -- previously they only affected the XLA
-    reference path (round-3 fix; see QUALITY.md round 3)."""
+    reference path (round-3 fix; see QUALITY.md round 3).
+
+    NOT re-entrant across threads: the scope mutates the module global
+    that the kernel bodies and block pickers read at trace time, so all
+    jit tracing must stay on one thread. That holds throughout this
+    framework -- trainvali's only extra thread is the host-side data
+    producer, which never traces -- and JAX itself serializes tracing
+    of a single jit; revisit if kernels are ever traced concurrently."""
     global KERNEL_MATMUL_DTYPE
     old = KERNEL_MATMUL_DTYPE
     if kdtype != 'default' and not KERNEL_DTYPE_FORCED:
@@ -658,14 +665,18 @@ def _kernel_dtype_scope(kdtype):
 
 def kernel_dtype_for(compute_dtype):
     """Maps a chain's compute_dtype to the fused kernel dtype:
-    bf16 -> bf16 MXU passes (the shipping perf mode), None -> TRUE-f32
-    kernels (HIGHEST-precision matmuls + f32 stashes)."""
-    if compute_dtype is None:
+    bf16 -> bf16 MXU passes (the shipping perf mode); None OR float32
+    -> TRUE-f32 kernels (HIGHEST-precision matmuls + f32 stashes),
+    matching the XLA reference path, where float32 and None are the
+    same full-precision program."""
+    if compute_dtype is None or \
+            jnp.dtype(compute_dtype) == jnp.dtype(jnp.float32):
         return None
     if jnp.dtype(compute_dtype) == jnp.dtype(jnp.bfloat16):
         return jnp.bfloat16
     raise ValueError(
-        'Unsupported kernel compute_dtype: %r' % (compute_dtype,))
+        'Unsupported kernel compute_dtype: %r (expected None, float32, '
+        'or bfloat16)' % (compute_dtype,))
 
 
 def _bytes_per_feat():
@@ -2079,16 +2090,23 @@ _shared_chain_impl.defvjp(_shared_chain_impl_fwd, _shared_chain_impl_bwd)
 
 def apply_chain_shared_rays(plan, x_shared, x_per, params,
                             force_reference=False, compute_dtype=None,
-                            needs_dw=True):
+                            needs_dx=False, needs_dw=True):
     """Fused chain over an (N, L) fan-out whose embed part 0 depends
     only on the ray: x_shared (N, d0), x_per (N, L, d1) ->
-    (N, L, out). Inputs are data by contract (needs_dx=False); set
-    needs_dw=False for fully frozen chains.
+    (N, L, out). Inputs are data by contract (needs_dx=False is the
+    only implemented mode -- the backward kernel hard-codes zero input
+    cotangents); set needs_dw=False for fully frozen chains.
 
     On TPU this runs the light-major shared-ray kernels (see the
     section comment); elsewhere it falls back to the exact dense
     reference program.
     """
+    if needs_dx:
+        raise NotImplementedError(
+            'apply_chain_shared_rays assumes its inputs are data '
+            '(needs_dx=False): the backward kernel returns zero '
+            'x_shared/x_per cotangents. Use apply_chain for inputs '
+            'that depend on trainable parameters.')
     params = [(w, b) for w, b in params]
     if force_reference or (jax.default_backend() != 'tpu'
                            and not INTERPRET):

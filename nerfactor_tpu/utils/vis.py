@@ -91,17 +91,13 @@ def make_video(frames, outpath, fps=12):
 def bar_chart(values, outpath, labels=None):
     """Tiny bar chart as an image (replaces xm.vis.plot.Plot.bar)."""
     values = np.atleast_2d(np.asarray(values, dtype=np.float64))
-    if values.shape[0] == 1 and values.ndim == 2 and values.shape[1] > 0 \
-            and values.shape[0] < values.shape[1]:
-        pass
-    n_rows, n_groups = values.shape if values.ndim == 2 else (1, len(values))
+    n_rows, n_groups = values.shape
     h, w = 256, max(256, 4 * max(n_rows, n_groups))
     img = np.ones((h, w, 3), dtype=np.uint8) * 255
     vmin, vmax = np.nanmin(values), np.nanmax(values)
     vrange = (vmax - vmin) if vmax > vmin else 1.0
-    flat = values.T.reshape(-1)  # group-major
-    n = len(flat)
-    bar_w = max(1, w // max(n, 1))
+    flat = values.T.reshape(-1)  # group-major: row cycles fastest
+    bar_w = max(1, w // max(len(flat), 1))
     colors = [(31, 119, 180), (255, 127, 14), (44, 160, 44)]
     for i, v in enumerate(flat):
         if not np.isfinite(v):
@@ -109,8 +105,7 @@ def bar_chart(values, outpath, labels=None):
         frac = (v - vmin) / vrange
         bh = int(frac * (h - 20))
         x0 = i * bar_w
-        c = colors[i % values.shape[0] if values.ndim == 2 else 0] \
-            if values.ndim == 2 else colors[0]
+        c = colors[i % n_rows % len(colors)]  # color = series (row)
         img[h - 10 - bh:h - 10, x0:x0 + max(1, bar_w - 1)] = c
     ioutil.write_img(img, outpath)
     return outpath

@@ -266,6 +266,7 @@ def test_per_call_kernel_dtype_overrides_global(plan):
     x = jnp.asarray(np.random.RandomState(11).randn(
         64, pm.raw_dim(plan)), jnp.float32)
     ref = pm.chain_reference(plan, x, params)
+    saved = pm.KERNEL_MATMUL_DTYPE
     pm.KERNEL_MATMUL_DTYPE = jnp.bfloat16  # simulate the TPU default
     try:
         pinned = pm._fused_chain(
@@ -274,7 +275,7 @@ def test_per_call_kernel_dtype_overrides_global(plan):
             plan, x, params,
             kernel_dtype=pm.kernel_dtype_for(jnp.bfloat16))
     finally:
-        pm.KERNEL_MATMUL_DTYPE = None
+        pm.KERNEL_MATMUL_DTYPE = saved
     np.testing.assert_allclose(np.asarray(pinned), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
     assert not np.allclose(np.asarray(bf16), np.asarray(ref),
@@ -283,9 +284,25 @@ def test_per_call_kernel_dtype_overrides_global(plan):
 
 def test_kernel_dtype_for_mapping():
     assert pm.kernel_dtype_for(None) is None
+    # float32 means the same full-precision program as None on the XLA
+    # reference path; the fused path must agree (ADVICE round 3)
+    assert pm.kernel_dtype_for(jnp.float32) is None
     assert pm.kernel_dtype_for(jnp.bfloat16) == jnp.bfloat16
     with pytest.raises(ValueError, match='compute_dtype'):
         pm.kernel_dtype_for(jnp.float16)
+
+
+def test_shared_rays_rejects_needs_dx():
+    """needs_dx=True is not implemented for the shared-ray kernel (its
+    backward hard-codes zero input cotangents) -- it must fail loudly
+    instead of silently returning zero gradients (ADVICE round 3)."""
+    plan = pm.make_plan([(3, 2), (3, 1)], (16, 16, 8), ('relu',) * 3,
+                        (0,))
+    params = make_params(plan)
+    x_s = jnp.zeros((4, 3))
+    x_p = jnp.zeros((4, 2, 3))
+    with pytest.raises(NotImplementedError, match='needs_dx'):
+        pm.apply_chain_shared_rays(plan, x_s, x_p, params, needs_dx=True)
 
 
 SHARED_PLANS = [
