@@ -53,7 +53,16 @@ def parse_args(argv=None):
                         "local batch (global batch = n_hosts x "
                         "n_rays_per_step); checkpoints/summaries/vis are "
                         "written by host 0 only. Requires the standard "
-                        "JAX coordinator environment.")
+                        "JAX coordinator environment, or the explicit "
+                        "--coordinator/--num_processes/--process_id "
+                        "flags for manually launched clusters.")
+    p.add_argument('--coordinator', default=None,
+                   help="with --multihost: coordinator host:port "
+                        "(default: JAX cluster auto-detection)")
+    p.add_argument('--num_processes', type=int, default=None,
+                   help="with --multihost: total process count")
+    p.add_argument('--process_id', type=int, default=None,
+                   help="with --multihost: this process's id")
     return p.parse_args(argv)
 
 
@@ -209,8 +218,17 @@ def main(argv=None):
     args = parse_args(argv)
     if args.debug:
         logger.warn("Debug mode: on")
+    if args.device == 'cpu':
+        # The env var alone cannot force CPU when a platform plugin has
+        # pinned jax_platforms via jax.config (the axon TPU plugin
+        # does); the config update beats it when issued before first
+        # backend use
+        jax.config.update('jax_platforms', 'cpu')
     if args.multihost:
-        jax.distributed.initialize()
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id)
         logger.info("Multi-host: process %d/%d, %d/%d devices local",
                     jax.process_index(), jax.process_count(),
                     jax.local_device_count(), jax.device_count())
@@ -437,6 +455,11 @@ def main(argv=None):
         jax.profiler.stop_trace()
         logger.info("Profiler trace written (training ended first)")
     logger.info("Training done (%d epochs)", epochs)
+    if args.multihost:
+        # Orderly teardown: the coordinator must outlive the other
+        # processes' final barrier, and abrupt exits log heartbeat
+        # warnings
+        jax.distributed.shutdown()
 
 
 if __name__ == '__main__':
