@@ -1260,23 +1260,23 @@ def _f32_tn(a, b):
 
 def _seg_index_map(plan):
     """Static ref-index map of the per-layer weight segments, in the
-    order _flatten_params_t emits them."""
-    idx, cur, t = [], 0, trig_dim(plan)
+    order _flatten_params_t emits them. Embedding-consumer layers carry
+    ONE merged 'ext' segment covering [trig | 8-align pad | raw x]
+    (round 4): the MXU charges a full pass per dot regardless of K, so
+    the former separate K=trig / K=raw dots each cost as much as a
+    K=128 layer -- merging them halves the embed-consumer pass count
+    (the zero pad rows keep the in-kernel x slice of the d_ext
+    cotangent 8-sublane-aligned)."""
+    idx, cur = [], 0
     for i in range(len(plan.widths)):
         entry = {}
         if i == 0:
-            if t:
-                entry['trig'] = cur
-                cur += 1
-            entry['x'] = cur
+            entry['ext'] = cur
             cur += 1
         elif (i - 1) in plan.skip_at:
             entry['h'] = cur
             cur += 1
-            if t:
-                entry['trig'] = cur
-                cur += 1
-            entry['x'] = cur
+            entry['ext'] = cur
             cur += 1
         else:
             entry['h'] = cur
@@ -1287,26 +1287,50 @@ def _seg_index_map(plan):
     return idx, cur
 
 
-def _flatten_params_t(plan, params):
-    """Transposed weight segments + (W, 1) biases, trig-permuted
-    embedding order, no alignment padding (segments are separate
-    arrays; the kernel never slices lanes)."""
-    perm = trig_perm(plan)
+def ext_rows(plan):
+    """Row count of the merged [trig | pad | x] kernel operand."""
     t = trig_dim(plan)
+    return t + (_trig_row_pad(plan) if t else 0) + raw_dim(plan)
+
+
+def _build_ext(plan, x, trig):
+    """Assembles the merged (ext_rows, block) embedding operand from
+    the raw input rows and the trig-ladder rows (one VMEM concat --
+    ~0.1 us on the VPU vs the ~0.7 us MXU pass it saves per consumer
+    layer per direction)."""
+    t, pt = trig_dim(plan), _trig_row_pad(plan)
+    if not t:
+        return x
+    parts = [trig]
+    if pt:
+        parts.append(jnp.zeros((pt, x.shape[1]), trig.dtype))
+    parts.append(x.astype(trig.dtype))
+    return jnp.concatenate(parts, axis=0)
+
+
+def _flatten_params_t(plan, params):
+    """Transposed weight segments + (W, 1) biases. Embedding-consumer
+    weights are ONE merged (W, ext_rows) array in [trig | zero pad | x]
+    row order (matching _build_ext); the kernel never slices lanes."""
+    perm = trig_perm(plan)
+    t, pt = trig_dim(plan), _trig_row_pad(plan)
+
+    def regroup(we):
+        wp = we[perm]
+        if t and pt:
+            wp = jnp.concatenate(
+                [wp[:t], jnp.zeros((pt, wp.shape[1]), wp.dtype), wp[t:]],
+                axis=0)
+        return wp.T
+
     flat = []
     for i, (w, b) in enumerate(params):
         if i == 0:
-            wp = w[perm]
-            if t:
-                flat.append(wp[:t].T)
-            flat.append(wp[t:].T)
+            flat.append(regroup(w))
         elif (i - 1) in plan.skip_at:
             hw = plan.widths[i - 1]
             flat.append(w[:hw].T)
-            wp = w[hw:][perm]
-            if t:
-                flat.append(wp[:t].T)
-            flat.append(wp[t:].T)
+            flat.append(regroup(w[hw:]))
         else:
             flat.append(w.T)
         flat.append(b.reshape(-1, 1))
@@ -1316,22 +1340,22 @@ def _flatten_params_t(plan, params):
 def _unflatten_dparams_t(plan, dflat):
     """Inverse of _flatten_params_t on the gradient arrays."""
     inv = np.argsort(trig_perm(plan))
-    t = trig_dim(plan)
+    t, pt = trig_dim(plan), _trig_row_pad(plan)
+
+    def ungroup(dwe):
+        dwe = dwe.T
+        if t and pt:
+            dwe = jnp.concatenate([dwe[:t], dwe[t + pt:]], axis=0)
+        return dwe[inv]
+
     out = []
     it = iter(dflat)
     for i in range(len(plan.widths)):
         if i == 0:
-            parts = [next(it).T] if t else []
-            parts.append(next(it).T)
-            dw = jnp.concatenate(parts, axis=0)[inv] if len(parts) > 1 \
-                else parts[0][inv]
+            dw = ungroup(next(it))
         elif (i - 1) in plan.skip_at:
             dh = next(it).T
-            parts = [next(it).T] if t else []
-            parts.append(next(it).T)
-            de = jnp.concatenate(parts, axis=0)[inv] if len(parts) > 1 \
-                else parts[0][inv]
-            dw = jnp.concatenate([dh, de], axis=0)
+            dw = jnp.concatenate([dh, ungroup(next(it))], axis=0)
         else:
             dw = next(it).T
         db = next(it).reshape(-1)
@@ -1340,24 +1364,25 @@ def _unflatten_dparams_t(plan, dflat):
 
 
 def _fwd_layers_trig_t(plan, x, trig, w_refs, keep_hidden=False,
-                       shared_adds=None):
+                       shared_adds=None, ext=None):
     """Layer chain in the transposed world: every tensor is
     (features, block). ``shared_adds`` maps an embedding-consumer layer
     index to a precomputed (width_i, block) pre-activation contribution
-    (the per-ray shared-input path, see apply_chain_shared_rays)."""
+    (the per-ray shared-input path, see apply_chain_shared_rays).
+    ``ext`` optionally passes a prebuilt _build_ext operand (the
+    backward kernels share one across the recompute and reverse
+    walks)."""
     seg, _ = _seg_index_map(plan)
+    if ext is None:
+        ext = _build_ext(plan, x, trig)
     h, posts = None, []
     for i, act in enumerate(plan.acts):
         s = seg[i]
         if i == 0:
-            pre = _kdot(w_refs[s['x']][:], x)
-            if 'trig' in s:
-                pre = pre + _kdot(w_refs[s['trig']][:], trig)
-        elif 'x' in s:  # skip consumer
+            pre = _kdot(w_refs[s['ext']][:], ext)
+        elif 'ext' in s:  # skip consumer
             pre = _kdot(w_refs[s['h']][:], h) \
-                + _kdot(w_refs[s['x']][:], x)
-            if 'trig' in s:
-                pre = pre + _kdot(w_refs[s['trig']][:], trig)
+                + _kdot(w_refs[s['ext']][:], ext)
         else:
             pre = _kdot(w_refs[s['h']][:], h)
         if shared_adds is not None and i in shared_adds:
@@ -1399,7 +1424,8 @@ def _fwd_kernel_trig_t(plan, with_stash, use_ladder, x_ref, *refs):
 
 
 def _bwd_layers_trig_t(plan, x, trig, w_refs, dwb_refs, posts, d_h,
-                       needs_dx, needs_dw=True, collect_dpre=None):
+                       needs_dx, needs_dw=True, collect_dpre=None,
+                       ext=None):
     """Reverse walk of a transposed layer chain. ``d_h`` is the
     cotangent of the LAST layer's post-activation; ``dwb_refs`` (same
     layout as the w_refs segments) receive += accumulations when
@@ -1408,34 +1434,37 @@ def _bwd_layers_trig_t(plan, x, trig, w_refs, dwb_refs, posts, d_h,
     filled with each embedding-consumer layer's pre-activation
     cotangent -- the per-ray shared-input path turns these into shared
     weight gradients outside the kernel. Shared by the generic chain
-    kernel and the NeRF trunk."""
-    t = trig_dim(plan)
+    kernel and the NeRF trunk. ``ext`` optionally reuses the caller's
+    prebuilt _build_ext operand. The merged-ext layout keeps both dW
+    and the input cotangent to ONE MXU pass per consumer layer
+    (d_ext splits into (d_x, d_trig) once, at the end)."""
+    t, pt = trig_dim(plan), _trig_row_pad(plan)
     seg, _ = _seg_index_map(plan)
-    d_trig = jnp.zeros(trig.shape, jnp.float32) \
-        if (t and needs_dx) else None
-    d_x = jnp.zeros_like(x) if needs_dx else None
+    if ext is None:
+        ext = _build_ext(plan, x, trig)
+    d_ext = jnp.zeros((ext_rows(plan), x.shape[1]), jnp.float32) \
+        if needs_dx else None
     for i in range(len(plan.widths) - 1, -1, -1):
         s = seg[i]
         d_pre = _act_bwd(plan.acts[i], posts[i], d_h)
-        if collect_dpre is not None and 'x' in s:
+        if collect_dpre is not None and 'ext' in s:
             collect_dpre[i] = d_pre
         if needs_dw:
             dwb_refs[s['b']][:] += jnp.sum(d_pre, axis=1, keepdims=True)
-        if 'trig' in s:
+        if 'ext' in s:
             if needs_dw:
-                dwb_refs[s['trig']][:] += _kdot_nt(d_pre, trig)
+                dwb_refs[s['ext']][:] += _kdot_nt(d_pre, ext)
             if needs_dx:
-                d_trig = d_trig + _kdot_tn(w_refs[s['trig']][:], d_pre)
-        if 'x' in s:
-            if needs_dw:
-                dwb_refs[s['x']][:] += _kdot_nt(d_pre, x)
-            if needs_dx:
-                d_x = d_x + _kdot_tn(w_refs[s['x']][:], d_pre)
+                d_ext = d_ext + _kdot_tn(w_refs[s['ext']][:], d_pre)
         if i > 0:
             if needs_dw:
                 dwb_refs[s['h']][:] += _kdot_nt(d_pre, posts[i - 1])
             d_h = _kdot_tn(w_refs[s['h']][:], d_pre)
-    return d_x, d_trig
+    if not needs_dx:
+        return None, None
+    if not t:
+        return d_ext, None
+    return d_ext[t + pt:], d_ext[:t]
 
 
 def _bwd_kernel_trig_t(plan, needs_dx, needs_dw, use_ladder, x_ref,
@@ -1477,11 +1506,12 @@ def _bwd_kernel_trig_t(plan, needs_dx, needs_dw, use_ladder, x_ref,
         trig = trig_ref[:]  # forward-pass stash
     else:
         trig = None
+    ext = _build_ext(plan, x, trig)
     _, posts = _fwd_layers_trig_t(plan, x, trig, w_refs,
-                                  keep_hidden=True)
+                                  keep_hidden=True, ext=ext)
     d_x, d_trig = _bwd_layers_trig_t(
         plan, x, trig, w_refs, dwb_refs, posts, dy_ref[:],
-        needs_dx, needs_dw=needs_dw)
+        needs_dx, needs_dw=needs_dw, ext=ext)
     if needs_dx:
         if t and cosxf is None:
             # cos(xf) only feeds dx: recompute the cheap f32 phase
@@ -1814,7 +1844,7 @@ def _shared_consumer_layout(plan):
     seg, _ = _seg_index_map(per)
     layout, off = [], 0
     for i, s in enumerate(seg):
-        if 'x' in s:
+        if 'ext' in s:
             layout.append((i, off, plan.widths[i]))
             off += plan.widths[i]
     return tuple(layout), off

@@ -210,9 +210,10 @@ def _bwd_kernel(nplan, use_ladder, pts_ref, views_ref, drgb_ref,
         trig_v = pm._trig_ladder(_view_plan(nplan), views).astype(
             pm._stash_dtype()) if tv else None
     n_trunk = pm._seg_index_map(nplan.trunk_plan)[1]
+    ext_p = pm._build_ext(nplan.trunk_plan, pts, trig_p)
     h, posts = pm._fwd_layers_trig_t(nplan.trunk_plan, pts, trig_p,
                                      w_refs[:n_trunk],
-                                     keep_hidden=True)
+                                     keep_hidden=True, ext=ext_p)
     bott = pm._kdot(w_refs[n_trunk + 2][:], h) + w_refs[n_trunk + 3][:]
     _, h0 = _rgb_branch_fwd(nplan, w_refs, n_trunk + 4, bott, trig_v,
                             views, keep_hidden=True)
@@ -248,7 +249,7 @@ def _bwd_kernel(nplan, use_ladder, pts_ref, views_ref, drgb_ref,
         + pm._kdot_tn(w_refs[n_trunk][:], d_sigma)
     pm._bwd_layers_trig_t(nplan.trunk_plan, pts, trig_p,
                           w_refs[:n_trunk], dwb_refs[:n_trunk], posts,
-                          d_h, needs_dx=False)
+                          d_h, needs_dx=False, ext=ext_p)
 
 
 def _pick_block(nplan, backward=False):

@@ -209,11 +209,12 @@ def _bwd_kernel(plan, z_ref, l_ref, v_ref, dy_ref, a_ref, *refs):
     x = jnp.concatenate([z, pd, th, td], axis=0)
     trig, cosxf = pm._trig_ladder(plan, x, with_cos=True)
     trig = trig.astype(pm._stash_dtype())
+    ext = pm._build_ext(plan, x, trig)
     _, posts = pm._fwd_layers_trig_t(plan, x, trig, w_refs,
-                                     keep_hidden=True)
+                                     keep_hidden=True, ext=ext)
     d_x, d_trig = pm._bwd_layers_trig_t(
         plan, x, trig, w_refs, None, posts, dy_ref[:],
-        needs_dx=True, needs_dw=False)
+        needs_dx=True, needs_dw=False, ext=ext)
     # Trig embedding cotangent back to x (A carries the 2^j factors)
     d_x = d_x + pm._f32_tn(a_ref[:], d_trig * cosxf)
     dz_ref[:] = d_x[0:3]
