@@ -173,6 +173,10 @@ def _act_bwd(name, post, d):
     if name is None or name == 'none':
         return d
     if name == 'relu':
+        if post.dtype != jnp.float32:
+            # v5e Mosaic rejects sub-f32 comparisons ("Target does not
+            # support this comparison"): widen bf16 posts for the gate
+            post = post.astype(jnp.float32)
         return jnp.where(post > 0, d, 0.0)
     if name == 'sigmoid':
         return d * post * (1.0 - post)
@@ -1293,6 +1297,63 @@ def ext_rows(plan):
     return t + (_trig_row_pad(plan) if t else 0) + raw_dim(plan)
 
 
+# Layers at most this wide run their forward / d_h dots on the VPU
+# instead of the MXU (round 4): an MXU pass costs ~n/4 cycles no matter
+# how few output rows it fills (measured: an M=8 head dot costs the
+# same as M=1), so a 1-3-wide head burns a full pass in the forward,
+# another in the backward's recompute, and a third for its K=1 d_h
+# outer product -- 3 of the chain's ~22 passes. A (K,1)-broadcast
+# multiply + sublane reduction does the same work in ~n*K/1024 VPU
+# cycles. dW keeps the MXU (its contraction is over the n lanes).
+TINY_HEAD_MAX = 8
+
+
+def _tiny_head(plan, i):
+    """True for h-only layers stored untransposed (K, m) for the VPU
+    path: never layer 0 / skip consumers (they carry an ext segment)."""
+    return (i > 0 and (i - 1) not in plan.skip_at
+            and plan.widths[i] <= TINY_HEAD_MAX)
+
+
+def _vpu_dot_km(w, h):
+    """(K, m) x (K, n) -> (m, n) contraction over sublanes for tiny m:
+    per output row, a (K,1)-broadcast multiply + sublane-tree reduce.
+    f32 math throughout (at least as accurate as the bf16 MXU pass it
+    replaces)."""
+    rows = [jnp.sum(w[:, j:j + 1].astype(jnp.float32)
+                    * h.astype(jnp.float32), axis=0, keepdims=True)
+            for j in range(w.shape[1])]
+    return rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=0)
+
+
+def _dw_tiny(posts_prev, d_pre):
+    """(K, n) x (m, n) -> (K, m) dW for tiny heads. Mosaic lowers a
+    dot with a <=8-lane output as a VPU multiply+lane-reduce, but its
+    lowering of BF16 operands on that path emits an invalid
+    bf16->f32 vector.broadcast (verifier error) -- so feed it f32
+    operands (same VPU cost; the reduce is over lanes either way)."""
+    return jax.lax.dot_general(
+        posts_prev.astype(jnp.float32), d_pre.astype(jnp.float32),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+
+def _vpu_outer_km(w, d_pre):
+    """(K, m) x (m, n) -> (K, n) for tiny m: the d_h outer product as
+    broadcast multiplies (the MXU K=1 form costs a full pass). Both
+    operands are broadcast EXPLICITLY after the f32 casts -- Mosaic's
+    verifier rejects the fused convert+broadcast a two-sided implicit
+    broadcast multiply produces ('vector.broadcast' element type)."""
+    k, n = w.shape[0], d_pre.shape[1]
+    out = None
+    for j in range(w.shape[1]):
+        wj = jnp.broadcast_to(w[:, j:j + 1].astype(jnp.float32), (k, n))
+        dj = jnp.broadcast_to(
+            d_pre[j:j + 1, :].astype(jnp.float32), (k, n))
+        term = wj * dj
+        out = term if out is None else out + term
+    return out
+
+
 def _build_ext(plan, x, trig):
     """Assembles the merged (ext_rows, block) embedding operand from
     the raw input rows and the trig-ladder rows (one VMEM concat --
@@ -1311,7 +1372,9 @@ def _build_ext(plan, x, trig):
 def _flatten_params_t(plan, params):
     """Transposed weight segments + (W, 1) biases. Embedding-consumer
     weights are ONE merged (W, ext_rows) array in [trig | zero pad | x]
-    row order (matching _build_ext); the kernel never slices lanes."""
+    row order (matching _build_ext); the kernel never slices lanes.
+    Tiny heads (see _tiny_head) stay UNTRANSPOSED (K, m) so the VPU
+    dot/outer forms need no in-kernel lane->sublane transpose."""
     perm = trig_perm(plan)
     t, pt = trig_dim(plan), _trig_row_pad(plan)
 
@@ -1331,6 +1394,8 @@ def _flatten_params_t(plan, params):
             hw = plan.widths[i - 1]
             flat.append(w[:hw].T)
             flat.append(regroup(w[hw:]))
+        elif _tiny_head(plan, i):
+            flat.append(w)
         else:
             flat.append(w.T)
         flat.append(b.reshape(-1, 1))
@@ -1356,6 +1421,8 @@ def _unflatten_dparams_t(plan, dflat):
         elif (i - 1) in plan.skip_at:
             dh = next(it).T
             dw = jnp.concatenate([dh, ungroup(next(it))], axis=0)
+        elif _tiny_head(plan, i):
+            dw = next(it)
         else:
             dw = next(it).T
         db = next(it).reshape(-1)
@@ -1383,15 +1450,39 @@ def _fwd_layers_trig_t(plan, x, trig, w_refs, keep_hidden=False,
         elif 'ext' in s:  # skip consumer
             pre = _kdot(w_refs[s['h']][:], h) \
                 + _kdot(w_refs[s['ext']][:], ext)
+        elif _tiny_head(plan, i):
+            pre = _vpu_dot_km(w_refs[s['h']][:], h)
         else:
             pre = _kdot(w_refs[s['h']][:], h)
         if shared_adds is not None and i in shared_adds:
             pre = pre + shared_adds[i]
         pre = pre + w_refs[s['b']][:]
-        h = _act(act, pre)
+        h = _hidden_act(plan, i, pre)
         if keep_hidden:
             posts.append(h)
     return h, posts
+
+
+def _hidden_act(plan, i, pre):
+    """Activation with the hidden-layer kernel-dtype cast applied ONCE
+    at creation instead of per consuming dot (round 4): every use of a
+    hidden relu output is a _kdot operand (next layer, skip reuse, dW)
+    plus the sign-exact relu gate, so storing it at KERNEL_MATMUL_DTYPE
+    is bit-identical math with 1-2 fewer (width, block) VPU casts per
+    layer per direction -- and it halves the posts' VMEM footprint.
+    Heads (last layer) and non-relu activations stay f32."""
+    h = _act(plan.acts[i], pre)
+    if (KERNEL_MATMUL_DTYPE is not None and plan.acts[i] == 'relu'
+            and i + 1 < len(plan.acts)):
+        h = h.astype(KERNEL_MATMUL_DTYPE)
+    return h
+
+
+def _dpre_mat(d_pre):
+    """Pre-casts a d_pre cotangent for its 2-3 matmul uses."""
+    if KERNEL_MATMUL_DTYPE is not None:
+        return d_pre.astype(KERNEL_MATMUL_DTYPE)
+    return d_pre
 
 
 def _fwd_kernel_trig_t(plan, with_stash, use_ladder, x_ref, *refs):
@@ -1406,21 +1497,30 @@ def _fwd_kernel_trig_t(plan, with_stash, use_ladder, x_ref, *refs):
         y_ref = refs[-1]
         w_refs = refs[:-1]
     x = x_ref[:]
-    if t and use_ladder:
-        trig = _trig_ladder(plan, x).astype(_stash_dtype())
-    elif t:
-        # Phase must be exact: A^T @ x in TRUE f32 (freqs reach
-        # 2**(f-1); HIGHEST beats the TPU default's bf16 truncation)
-        xf = jnp.dot(a_ref[:], x, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST) \
-            + p_ref[:]
-        trig = jnp.sin(xf).astype(_stash_dtype())
-    else:
-        trig = None
-    h, _ = _fwd_layers_trig_t(plan, x, trig, w_refs)
-    y_ref[:] = h
-    if with_stash and t:
-        trig_out_ref[:] = trig
+    ns = _eff_lane_split(x.shape[1])
+    sub = x.shape[1] // ns
+    xs = [x[:, k * sub:(k + 1) * sub] for k in range(ns)]
+    trigs = []
+    for xk in xs:
+        if t and use_ladder:
+            trig = _trig_ladder(plan, xk).astype(_stash_dtype())
+        elif t:
+            # Phase must be exact: A^T @ x in TRUE f32 (freqs reach
+            # 2**(f-1); HIGHEST beats the TPU default's bf16 truncation)
+            xf = jnp.dot(a_ref[:], xk,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST) \
+                + p_ref[:]
+            trig = jnp.sin(xf).astype(_stash_dtype())
+        else:
+            trig = None
+        trigs.append(trig)
+    exts = [_build_ext(plan, xk, tk) for xk, tk in zip(xs, trigs)]
+    hs, _ = _fwd_layers_trig_t_multi(plan, exts, w_refs)
+    for k in range(ns):
+        y_ref[:, k * sub:(k + 1) * sub] = hs[k]
+        if with_stash and t:
+            trig_out_ref[:, k * sub:(k + 1) * sub] = trigs[k]
 
 
 def _bwd_layers_trig_t(plan, x, trig, w_refs, dwb_refs, posts, d_h,
@@ -1451,20 +1551,120 @@ def _bwd_layers_trig_t(plan, x, trig, w_refs, dwb_refs, posts, d_h,
             collect_dpre[i] = d_pre
         if needs_dw:
             dwb_refs[s['b']][:] += jnp.sum(d_pre, axis=1, keepdims=True)
+        d_pre = _dpre_mat(d_pre)
         if 'ext' in s:
             if needs_dw:
                 dwb_refs[s['ext']][:] += _kdot_nt(d_pre, ext)
             if needs_dx:
                 d_ext = d_ext + _kdot_tn(w_refs[s['ext']][:], d_pre)
         if i > 0:
-            if needs_dw:
-                dwb_refs[s['h']][:] += _kdot_nt(d_pre, posts[i - 1])
-            d_h = _kdot_tn(w_refs[s['h']][:], d_pre)
+            if _tiny_head(plan, i):
+                if needs_dw:
+                    dwb_refs[s['h']][:] += _dw_tiny(posts[i - 1], d_pre)
+                d_h = _vpu_outer_km(w_refs[s['h']][:], d_pre)
+            else:
+                if needs_dw:
+                    dwb_refs[s['h']][:] += _kdot_nt(d_pre, posts[i - 1])
+                d_h = _kdot_tn(w_refs[s['h']][:], d_pre)
     if not needs_dx:
         return None, None
     if not t:
         return d_ext, None
     return d_ext[t + pt:], d_ext[:t]
+
+
+def _fwd_layers_trig_t_multi(plan, exts, w_refs, keep_hidden=False):
+    """Layer walk interleaved over independent lane-slices of one
+    block: per layer, every slice's MXU dot is emitted before any
+    slice's VPU activation, so Mosaic's scheduler sees independent
+    MXU and VPU streams to overlap (round-4 occupancy experiment;
+    the serial full-block walk alternates the units instead).
+    Returns (h_per_slice, posts_per_slice)."""
+    seg, _ = _seg_index_map(plan)
+    ns = len(exts)
+    hs = [None] * ns
+    posts = [[] for _ in range(ns)]
+    for i, act in enumerate(plan.acts):
+        s = seg[i]
+        pres = []
+        for k in range(ns):
+            if i == 0:
+                pre = _kdot(w_refs[s['ext']][:], exts[k])
+            elif 'ext' in s:  # skip consumer
+                pre = _kdot(w_refs[s['h']][:], hs[k]) \
+                    + _kdot(w_refs[s['ext']][:], exts[k])
+            elif _tiny_head(plan, i):
+                pre = _vpu_dot_km(w_refs[s['h']][:], hs[k])
+            else:
+                pre = _kdot(w_refs[s['h']][:], hs[k])
+            pres.append(pre + w_refs[s['b']][:])
+        for k in range(ns):
+            hs[k] = _hidden_act(plan, i, pres[k])
+            if keep_hidden:
+                posts[k].append(hs[k])
+    return hs, posts
+
+
+def _bwd_layers_trig_t_multi(plan, exts, w_refs, dwb_refs, posts, d_hs,
+                             needs_dx, needs_dw=True):
+    """Reverse walk interleaved over lane-slices (see the forward
+    twin). dW contributions from all slices are summed (f32, tiny)
+    before each accumulator +=. Returns per-slice d_ext arrays (the
+    caller splits trig/x rows)."""
+    seg, _ = _seg_index_map(plan)
+    ns = len(exts)
+    d_exts = [jnp.zeros((ext_rows(plan), e.shape[1]), jnp.float32)
+              for e in exts] if needs_dx else None
+    for i in range(len(plan.widths) - 1, -1, -1):
+        s = seg[i]
+        d_pres = [_act_bwd(plan.acts[i], posts[k][i], d_hs[k])
+                  for k in range(ns)]
+        if needs_dw:
+            dwb_refs[s['b']][:] += sum(
+                jnp.sum(d, axis=1, keepdims=True) for d in d_pres)
+        d_pres = [_dpre_mat(d) for d in d_pres]
+        if 'ext' in s:
+            if needs_dw:
+                dwb_refs[s['ext']][:] += sum(
+                    _kdot_nt(d_pres[k], exts[k]) for k in range(ns))
+            if needs_dx:
+                d_exts = [d_exts[k] + _kdot_tn(w_refs[s['ext']][:],
+                                               d_pres[k])
+                          for k in range(ns)]
+        if i > 0:
+            if _tiny_head(plan, i):
+                if needs_dw:
+                    dwb_refs[s['h']][:] += sum(
+                        _dw_tiny(posts[k][i - 1], d_pres[k])
+                        for k in range(ns))
+                d_hs = [_vpu_outer_km(w_refs[s['h']][:], d_pres[k])
+                        for k in range(ns)]
+            else:
+                if needs_dw:
+                    dwb_refs[s['h']][:] += sum(
+                        _kdot_nt(d_pres[k], posts[k][i - 1])
+                        for k in range(ns))
+                d_hs = [_kdot_tn(w_refs[s['h']][:], d_pres[k])
+                        for k in range(ns)]
+    return d_exts
+
+
+def _lane_split_from_env():
+    import os
+    return max(1, int(os.environ.get('NERFACTOR_LANE_SPLIT', '1')))
+
+
+# Lane-slice interleave factor for the generic transposed kernels
+# (1 = the serial full-block walk). Set NERFACTOR_LANE_SPLIT to probe.
+LANE_SPLIT = _lane_split_from_env()
+
+
+def _eff_lane_split(block):
+    """Slices must stay 128-lane-tile multiples."""
+    s = LANE_SPLIT
+    while s > 1 and block % (128 * s):
+        s -= 1
+    return s
 
 
 def _bwd_kernel_trig_t(plan, needs_dx, needs_dw, use_ladder, x_ref,
@@ -1491,38 +1691,57 @@ def _bwd_kernel_trig_t(plan, needs_dx, needs_dw, use_ladder, x_ref,
             r[:] = jnp.zeros(r.shape, r.dtype)
 
     x = x_ref[:]
-    cosxf = None
-    if t and use_ladder:
-        # Recompute the trig embedding via the ladder instead of
-        # reading a forward-pass stash from HBM (saves the (T, N)
-        # stash write+read entirely); cos(xf) for the dx branch falls
-        # out of the same recurrences
-        if needs_dx:
-            trig, cosxf = _trig_ladder(plan, x, with_cos=True)
+    pt = _trig_row_pad(plan)
+    ns = _eff_lane_split(x.shape[1])
+    sub = x.shape[1] // ns
+    xs = [x[:, k * sub:(k + 1) * sub] for k in range(ns)]
+    trigs, cosxfs = [], []
+    for xk in xs:
+        cosxf = None
+        if t and use_ladder:
+            # Recompute the trig embedding via the ladder instead of
+            # reading a forward-pass stash from HBM (saves the (T, N)
+            # stash write+read entirely); cos(xf) for the dx branch
+            # falls out of the same recurrences
+            if needs_dx:
+                trig, cosxf = _trig_ladder(plan, xk, with_cos=True)
+            else:
+                trig = _trig_ladder(plan, xk)
+            trig = trig.astype(_stash_dtype())
+        elif t:
+            trig = None  # sliced from the stash ref below
         else:
-            trig = _trig_ladder(plan, x)
-        trig = trig.astype(_stash_dtype())
-    elif t:
-        trig = trig_ref[:]  # forward-pass stash
-    else:
-        trig = None
-    ext = _build_ext(plan, x, trig)
-    _, posts = _fwd_layers_trig_t(plan, x, trig, w_refs,
-                                  keep_hidden=True, ext=ext)
-    d_x, d_trig = _bwd_layers_trig_t(
-        plan, x, trig, w_refs, dwb_refs, posts, dy_ref[:],
-        needs_dx, needs_dw=needs_dw, ext=ext)
+            trig = None
+        trigs.append(trig)
+        cosxfs.append(cosxf)
+    if t and not use_ladder:
+        stash = trig_ref[:]  # forward-pass stash
+        trigs = [stash[:, k * sub:(k + 1) * sub] for k in range(ns)]
+    exts = [_build_ext(plan, xk, tk) for xk, tk in zip(xs, trigs)]
+    dy = dy_ref[:]
+    dys = [dy[:, k * sub:(k + 1) * sub] for k in range(ns)]
+    _, posts = _fwd_layers_trig_t_multi(plan, exts, w_refs,
+                                        keep_hidden=True)
+    d_exts = _bwd_layers_trig_t_multi(
+        plan, exts, w_refs, dwb_refs, posts, dys,
+        needs_dx, needs_dw=needs_dw)
     if needs_dx:
-        if t and cosxf is None:
-            # cos(xf) only feeds dx: recompute the cheap f32 phase
-            # matmul instead of stashing it in the forward
-            xf = jnp.dot(a_ref[:], x,
-                         preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST) + p_ref[:]
-            cosxf = jnp.cos(xf)
-        if t:
-            d_x = d_x + _f32_tn(a_ref[:], d_trig * cosxf)
-        dx_ref[:] = d_x
+        for k in range(ns):
+            if not t:
+                d_x = d_exts[k]
+            else:
+                d_x, d_trig = d_exts[k][t + pt:], d_exts[k][:t]
+                cosxf = cosxfs[k]
+                if cosxf is None:
+                    # cos(xf) only feeds dx: recompute the cheap f32
+                    # phase matmul instead of stashing it forward
+                    xf = jnp.dot(a_ref[:], xs[k],
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST) \
+                        + p_ref[:]
+                    cosxf = jnp.cos(xf)
+                d_x = d_x + _f32_tn(a_ref[:], d_trig * cosxf)
+            dx_ref[:, k * sub:(k + 1) * sub] = d_x
 
 
 def _pick_block_cols_t(plan, backward=False):

@@ -63,13 +63,22 @@ def _view_plan(nplan):
     return pm.make_plan([(3, nplan.n_freqs_view)], (1,), (None,), ())
 
 
+def _tiny(w):
+    """Tiny-head storage (see pallas_mlp._tiny_head): heads at most
+    TINY_HEAD_MAX wide stay UNTRANSPOSED (K, m) so the kernel runs
+    their forward / d_h work on the VPU instead of burning full MXU
+    passes on 1-3 output rows. Applies to the sigma head (m=1) and
+    the final rgb layer (m=3)."""
+    return w.shape[1] <= pm.TINY_HEAD_MAX
+
+
 def _flatten_nerf_params_t(nplan, trunk, sigma, bott, rgb):
     """Transposed segments in kernel ref order: [trunk segments...,
     sigma wT+b, bott wT+b, rgb0 (h | view-trig | view-x) wT+b,
-    rgb1 wT+b]."""
+    rgb1 wT+b]. Tiny heads stay untransposed (see _tiny)."""
     flat = pm._flatten_params_t(nplan.trunk_plan, trunk)
     (ws, bs), = sigma
-    flat += [ws.T, bs.reshape(-1, 1)]
+    flat += [ws if _tiny(ws) else ws.T, bs.reshape(-1, 1)]
     (wb, bb), = bott
     flat += [wb.T, bb.reshape(-1, 1)]
     # rgb layer 0 consumes [bottleneck | embed(views)]; split + permute
@@ -83,7 +92,7 @@ def _flatten_nerf_params_t(nplan, trunk, sigma, bott, rgb):
     if tv:
         flat += [wp[:tv].T]
     flat += [wp[tv:].T, b0.reshape(-1, 1)]
-    flat += [w1.T, b1.reshape(-1, 1)]
+    flat += [w1 if _tiny(w1) else w1.T, b1.reshape(-1, 1)]
     return flat
 
 
@@ -92,7 +101,8 @@ def _unflatten_nerf_dparams_t(nplan, dflat):
     n_trunk = pm._seg_index_map(nplan.trunk_plan)[1]
     trunk = pm._unflatten_dparams_t(nplan.trunk_plan, dflat[:n_trunk])
     rest = list(dflat[n_trunk:])
-    sigma = [(rest[0].T, rest[1].reshape(-1))]
+    # sigma head is 1-wide: always tiny-stored (K, 1), no transpose
+    sigma = [(rest[0], rest[1].reshape(-1))]
     bott = [(rest[2].T, rest[3].reshape(-1))]
     rest = rest[4:]
     vplan = _view_plan(nplan)
@@ -106,7 +116,8 @@ def _unflatten_nerf_dparams_t(nplan, dflat):
         dw_e = rest[1].T[inv]
         rest = rest[2:]
     rgb0 = (jnp.concatenate([dw_h, dw_e], axis=0), rest[0].reshape(-1))
-    rgb1 = (rest[1].T, rest[2].reshape(-1))
+    tiny1 = nplan.rgb_widths[-1] <= pm.TINY_HEAD_MAX
+    rgb1 = (rest[1] if tiny1 else rest[1].T, rest[2].reshape(-1))
     return trunk, sigma, bott, [rgb0, rgb1]
 
 
@@ -128,9 +139,15 @@ def _rgb_branch_fwd(nplan, w_refs, base, bott_post, trig_v, views,
     pre = pre + pm._kdot(w_refs[i][:], views) + w_refs[i + 1][:]
     i += 2
     h0 = pm._act(nplan.rgb_acts[0], pre)
-    rgb = pm._act(nplan.rgb_acts[1],
-                  pm._kdot(w_refs[i][:], h0) + w_refs[i + 1][:])
+    w1 = w_refs[i][:]
+    pre1 = pm._vpu_dot_km(w1, h0) if _tiny_rgb1(nplan) \
+        else pm._kdot(w1, h0)
+    rgb = pm._act(nplan.rgb_acts[1], pre1 + w_refs[i + 1][:])
     return rgb, h0
+
+
+def _tiny_rgb1(nplan):
+    return nplan.rgb_widths[-1] <= pm.TINY_HEAD_MAX
 
 
 def _fwd_kernel(nplan, with_stash, use_ladder, pts_ref, views_ref,
@@ -170,7 +187,8 @@ def _fwd_kernel(nplan, with_stash, use_ladder, pts_ref, views_ref,
     n_trunk = pm._seg_index_map(nplan.trunk_plan)[1]
     h, _ = pm._fwd_layers_trig_t(nplan.trunk_plan, pts, trig_p,
                                  w_refs[:n_trunk])
-    sigma_ref[:] = pm._kdot(w_refs[n_trunk][:], h) \
+    # sigma head is 1-wide: VPU dot against the (K, 1) tiny segment
+    sigma_ref[:] = pm._vpu_dot_km(w_refs[n_trunk][:], h) \
         + w_refs[n_trunk + 1][:]
     bott = pm._kdot(w_refs[n_trunk + 2][:], h) + w_refs[n_trunk + 3][:]
     rgb, _ = _rgb_branch_fwd(nplan, w_refs, n_trunk + 4, bott, trig_v,
@@ -223,13 +241,17 @@ def _bwd_kernel(nplan, use_ladder, pts_ref, views_ref, drgb_ref,
     # backward kept for generality via post values)
     i = n_trunk + 4 + (4 if tv else 3)  # index of rgb1 w
     # recompute rgb post only if its act is nonlinear
+    tiny1 = _tiny_rgb1(nplan)
     if nplan.rgb_acts[1] not in (None, 'none'):
-        rgb_post = pm._act(nplan.rgb_acts[1],
-                           pm._kdot(w_refs[i][:], h0) + w_refs[i + 1][:])
+        pre1 = pm._vpu_dot_km(w_refs[i][:], h0) if tiny1 \
+            else pm._kdot(w_refs[i][:], h0)
+        rgb_post = pm._act(nplan.rgb_acts[1], pre1 + w_refs[i + 1][:])
         d_rgb = pm._act_bwd(nplan.rgb_acts[1], rgb_post, d_rgb)
-    dwb_refs[i][:] += pm._kdot_nt(d_rgb, h0)
+    dwb_refs[i][:] += pm._dw_tiny(h0, d_rgb) if tiny1 \
+        else pm._kdot_nt(d_rgb, h0)
     dwb_refs[i + 1][:] += jnp.sum(d_rgb, axis=1, keepdims=True)
-    d_h0 = pm._kdot_tn(w_refs[i][:], d_rgb)
+    d_h0 = pm._vpu_outer_km(w_refs[i][:], d_rgb) if tiny1 \
+        else pm._kdot_tn(w_refs[i][:], d_rgb)
     d_pre0 = pm._act_bwd(nplan.rgb_acts[0], h0, d_h0)
     j = n_trunk + 4
     dwb_refs[j][:] += pm._kdot_nt(d_pre0, bott)
@@ -243,10 +265,13 @@ def _bwd_kernel(nplan, use_ladder, pts_ref, views_ref, drgb_ref,
     # bottleneck (linear) and sigma head (linear) both feed d_h
     dwb_refs[n_trunk + 2][:] += pm._kdot_nt(d_bott, h)
     dwb_refs[n_trunk + 3][:] += jnp.sum(d_bott, axis=1, keepdims=True)
-    dwb_refs[n_trunk][:] += pm._kdot_nt(d_sigma, h)
+    # sigma head (1-wide, tiny-stored): dW as a VPU lane-reduce, its
+    # d_h contribution as a VPU outer product (the MXU forms burn ~2
+    # full K=256 passes each on a single output/input row)
+    dwb_refs[n_trunk][:] += pm._dw_tiny(h, d_sigma)
     dwb_refs[n_trunk + 1][:] += jnp.sum(d_sigma, axis=1, keepdims=True)
     d_h = pm._kdot_tn(w_refs[n_trunk + 2][:], d_bott) \
-        + pm._kdot_tn(w_refs[n_trunk][:], d_sigma)
+        + pm._vpu_outer_km(w_refs[n_trunk][:], d_sigma)
     pm._bwd_layers_trig_t(nplan.trunk_plan, pts, trig_p,
                           w_refs[:n_trunk], dwb_refs[:n_trunk], posts,
                           d_h, needs_dx=False, ext=ext_p)

@@ -28,6 +28,8 @@ def main():
     ap.add_argument('--matmul_dtype', choices=['f32', 'bf16'],
                     default='f32', help="global MXU operand dtype "
                     "(applies inside the Pallas kernel too)")
+    ap.add_argument('--out_width', type=int, default=1,
+                    help="head width (M of the final dot)")
     ap.add_argument('--fx', type=int, default=10,
                     help="posenc freqs for the xyz part")
     ap.add_argument('--fl', type=int, default=4,
@@ -49,7 +51,7 @@ def main():
     compute_dtype = jnp.bfloat16 if args.compute_dtype == 'bf16' else None
 
     plan = pm.make_plan([(3, args.fx), (3, args.fl)],
-                        (args.width,) * args.depth + (1,),
+                        (args.width,) * args.depth + (args.out_width,),
                         ('relu',) * args.depth + ('sigmoid',),
                         (args.depth // 2 - 1,))
     rng = np.random.RandomState(0)

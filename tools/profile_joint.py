@@ -18,6 +18,8 @@ import tempfile
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--override', default='')
+    ap.add_argument('--model', default='nerfactor',
+                    choices=['nerfactor', 'nerf'])
     ap.add_argument('--rays', type=int, default=1024)
     ap.add_argument('--light_h', type=int, default=16)
     ap.add_argument('--scan', type=int, default=8)
@@ -33,14 +35,20 @@ def main():
     from nerfactor_tpu.parallel.train import build_optimizer, \
         make_train_step_scan
 
-    model, batch = _make_model_and_batch(
-        n_rays=args.rays, light_h=args.light_h, tiny=False,
-        extra_overrides=args.override)
+    if args.model == 'nerf':
+        from tools.step_time import _make_nerf_model_and_batch
+        model, batch = _make_nerf_model_and_batch(args)
+    else:
+        model, batch = _make_model_and_batch(
+            n_rays=args.rays, light_h=args.light_h, tiny=False,
+            extra_overrides=args.override)
     params = model.init_params(jax.random.PRNGKey(0))
     optimizer = build_optimizer(model.config)
     opt_state = optimizer.init(params)
+    mask_fn = getattr(model, 'trainable_mask', None)
     step = make_train_step_scan(
-        model, optimizer, trainable_mask=model.trainable_mask(params),
+        model, optimizer,
+        trainable_mask=mask_fn(params) if mask_fn else None,
         n_steps=args.scan)
     stacked = {k: np.broadcast_to(
         v, (args.scan,) + np.asarray(v).shape).copy()
