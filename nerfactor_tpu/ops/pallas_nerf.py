@@ -294,7 +294,14 @@ def _pick_block(nplan, backward=False):
         feats = tp + tvd + 4 * w + 64
     if env:
         return pm._validated_env_block(name, env, feats=feats)
-    budget = 8 * 1024 * 1024
+    # 14 MB of the 16 MB VMEM, same as the generic picker (the round-1
+    # 8 MB budget predated bf16 hidden posts, which halved the
+    # backward's real live set). Measured on v5e at nerf.ini scale
+    # (1024 rays x 192 fine samples, 256x8 trunk): bwd 256 -> 512
+    # lanes cuts the train step 9.75 -> 8.41 ms; bwd 1024 only adds
+    # ~0.1 ms more but costs a ~15 min first compile, and fwd 2048 vs
+    # 1024 is a wash (round 4).
+    budget = 14 * 1024 * 1024
     for block in (4096, 2048, 1024, 512, 256):
         if feats * block * pm._bytes_per_feat() <= budget:
             return block
