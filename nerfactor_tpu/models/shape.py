@@ -88,17 +88,6 @@ class Model(BaseModel):
         self.f32_chains = frozenset(
             s for s in config.get('f32_chains', fallback='').replace(
                 '+', ' ').split() if s)
-        # Per-ray-shared lvis kernel (round 3): compute the xyz half of
-        # the embedding-consumer layers once per ray (see
-        # pallas_mlp.apply_chain_shared_rays). Measured on v5e at bench
-        # scale: the chain in ISOLATION wins 6.7 -> 6.3 ms, but the
-        # full joint step LOSES 8.6 -> 8.8-8.9 ms -- the light-major
-        # boundary transposes and lost XLA fusion around the call eat
-        # the in-kernel saving -- so the dense kernel stays the
-        # default; the flag keeps the shared path exercisable (it may
-        # win at larger L or wider MLPs).
-        self.shared_lvis = config.getboolean('shared_lvis',
-                                             fallback=False)
         self._init_specs()
         self._init_plans()
 
@@ -209,27 +198,20 @@ class Model(BaseModel):
         """(N, 3), (N, L, 3) -> (N, L), dense fused pass."""
         n, l = surf2l.shape[0], surf2l.shape[1]
         pts_scaled = self.xyz_scale * pts
-        if self.fused_mlp and self.shared_lvis and self.pos_enc:
-            # Per-ray-shared kernel (round 3): the xyz half of every
-            # embedding-consumer layer is computed ONCE per ray and
-            # stays VMEM-resident across the light-major inner loop
-            # (pallas_mlp.apply_chain_shared_rays) -- removes the xyz
-            # matmul/trig/dW share from the N*L hot loop. Off-TPU it
-            # falls back to the identical dense reference program.
-            p = pallas_mlp.params_from_tree(params['lvis_mlp'],
-                                            params['lvis_out'])
-            lvis = pallas_mlp.apply_chain_shared_rays(
-                self.plans['lvis'], pts_scaled, surf2l, p,
-                compute_dtype=self.chain_dtype('lvis'),
-                needs_dw=self.shape_heads_need_dw)
-            return lvis[:, :, 0]
-        # NOTE (measured, v5e): routing this through
-        # chain_reference_shared (xyz part at N scale, broadcast over
-        # lights) SLOWS the joint step 24.6 -> 25.9 ms on the XLA path
-        # -- the broadcast fragments XLA's fusion by more than the
-        # saved 63-column embedding traffic. The dense concat below is
-        # the XLA fast path; the kernel-level sharing above does not
-        # have that problem (the shared block is VMEM-resident).
+        # NOTE (measured, v5e, rounds 1-4): per-ray sharing of the xyz
+        # half of this chain LOSES at every level tried. At the XLA
+        # level (xyz part at N scale, broadcast over lights): joint
+        # step 24.6 -> 25.9 ms -- the broadcast fragments XLA's fusion
+        # by more than the saved 63-column embedding traffic. At the
+        # kernel level (round 3's light-major shared-ray kernel, since
+        # deleted): wins 6.7 -> 6.3 ms in isolation but loses the full
+        # step 8.6 -> 8.9 ms to the light-major boundary transposes --
+        # and the round-4 pass-cost model shows why it cannot win: an
+        # MXU pass costs ~n/4 cycles regardless of K, so removing the
+        # xyz ROWS from the ext operand removes no passes from the N*L
+        # loop; the only in-kernel saving is VPU trig work, which is
+        # not the binding constraint. The dense concat below is the
+        # fast path at any L.
         surf_rep = jnp.broadcast_to(pts_scaled[:, None, :], (n, l, 3))
         x_raw = jnp.concatenate(
             (surf_rep.reshape(-1, 3), surf2l.reshape(-1, 3)), axis=-1)

@@ -317,65 +317,6 @@ def chain_reference(plan, x, params, compute_dtype=None):
     return _forward_ref(plan, x, params, compute_dtype=compute_dtype)
 
 
-def chain_reference_shared(plan, x_shared, x_rows, params,
-                           compute_dtype=None):
-    """chain_reference on rows that pair each shared-input row with
-    ``l`` consecutive per-row inputs: row r sees
-    ``concat(x_shared[r // l], x_rows[r])``.
-
-    The FIRST embed part of ``plan`` is the shared one. Its positional
-    encoding and its contributions to the first layer and to every
-    skip-consumer layer depend only on x_shared, so they are computed
-    at N scale and broadcast over ``l`` -- in the lvis chain this cuts
-    the 63-column xyz embedding (and its backward) out of the N*L-scale
-    traffic, which bounds the joint train step.
-
-    Exactly equivalent to chain_reference on the tiled+concatenated
-    input (pinned by a unit test).
-    """
-    n = x_shared.shape[0]
-    nl = x_rows.shape[0]
-    assert nl % n == 0, (nl, n)
-    l = nl // n
-    d0, f0 = plan.embed_parts[0]
-    assert x_shared.shape[1] == d0, (x_shared.shape, d0)
-    assert not _last_skip(plan), \
-        "Shared-part split does not support last-layer skip concats"
-    plan_s = make_plan([plan.embed_parts[0]], plan.widths, plan.acts,
-                       plan.skip_at)
-    plan_r = make_plan(list(plan.embed_parts[1:]), plan.widths,
-                       plan.acts, plan.skip_at)
-    e_s = _embed(plan_s, x_shared)  # (N, E0), f32
-    e_r = _embed(plan_r, x_rows)  # (N*L, Er)
-    e0 = e_s.shape[1]
-    if compute_dtype is not None:
-        e_r = e_r.astype(compute_dtype)
-
-    def bcast(v):  # (N, W) -> (N*L, W); fuses into the consumer add
-        w = v.shape[1]
-        if compute_dtype is not None:
-            v = v.astype(compute_dtype)
-        return jnp.broadcast_to(v[:, None, :], (n, l, w)).reshape(nl, w)
-
-    h = None
-    for i, ((w, b), act) in enumerate(zip(params, plan.acts)):
-        wc = w.astype(compute_dtype) if compute_dtype is not None else w
-        bc = b.astype(compute_dtype) if compute_dtype is not None else b
-        if i == 0:
-            shared = _dot(e_s, w[:e0])  # (N, W), f32 weights
-            pre = bcast(shared) + _dot(e_r, wc[e0:]) + bc
-        elif (i - 1) in plan.skip_at:
-            hw = h.shape[1]
-            shared = _dot(e_s, w[hw:hw + e0])
-            pre = _dot(h, wc[:hw]) + bcast(shared) \
-                + _dot(e_r, wc[hw + e0:]) + bc
-        else:
-            pre = _dot(h, wc) + bc
-        if compute_dtype is not None:
-            pre = pre.astype(compute_dtype)
-        h = _act(act, pre)
-    return h.astype(jnp.float32)
-
 
 # ------ Pallas kernels ------
 
@@ -1431,14 +1372,11 @@ def _unflatten_dparams_t(plan, dflat):
 
 
 def _fwd_layers_trig_t(plan, x, trig, w_refs, keep_hidden=False,
-                       shared_adds=None, ext=None):
+                       ext=None):
     """Layer chain in the transposed world: every tensor is
-    (features, block). ``shared_adds`` maps an embedding-consumer layer
-    index to a precomputed (width_i, block) pre-activation contribution
-    (the per-ray shared-input path, see apply_chain_shared_rays).
-    ``ext`` optionally passes a prebuilt _build_ext operand (the
-    backward kernels share one across the recompute and reverse
-    walks)."""
+    (features, block). ``ext`` optionally passes a prebuilt _build_ext
+    operand (the backward kernels share one across the recompute and
+    reverse walks)."""
     seg, _ = _seg_index_map(plan)
     if ext is None:
         ext = _build_ext(plan, x, trig)
@@ -1454,8 +1392,6 @@ def _fwd_layers_trig_t(plan, x, trig, w_refs, keep_hidden=False,
             pre = _vpu_dot_km(w_refs[s['h']][:], h)
         else:
             pre = _kdot(w_refs[s['h']][:], h)
-        if shared_adds is not None and i in shared_adds:
-            pre = pre + shared_adds[i]
         pre = pre + w_refs[s['b']][:]
         h = _hidden_act(plan, i, pre)
         if keep_hidden:
@@ -1497,43 +1433,30 @@ def _fwd_kernel_trig_t(plan, with_stash, use_ladder, x_ref, *refs):
         y_ref = refs[-1]
         w_refs = refs[:-1]
     x = x_ref[:]
-    ns = _eff_lane_split(x.shape[1])
-    sub = x.shape[1] // ns
-    xs = [x[:, k * sub:(k + 1) * sub] for k in range(ns)]
-    trigs = []
-    for xk in xs:
-        if t and use_ladder:
-            trig = _trig_ladder(plan, xk).astype(_stash_dtype())
-        elif t:
-            # Phase must be exact: A^T @ x in TRUE f32 (freqs reach
-            # 2**(f-1); HIGHEST beats the TPU default's bf16 truncation)
-            xf = jnp.dot(a_ref[:], xk,
-                         preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST) \
-                + p_ref[:]
-            trig = jnp.sin(xf).astype(_stash_dtype())
-        else:
-            trig = None
-        trigs.append(trig)
-    exts = [_build_ext(plan, xk, tk) for xk, tk in zip(xs, trigs)]
-    hs, _ = _fwd_layers_trig_t_multi(plan, exts, w_refs)
-    for k in range(ns):
-        y_ref[:, k * sub:(k + 1) * sub] = hs[k]
-        if with_stash and t:
-            trig_out_ref[:, k * sub:(k + 1) * sub] = trigs[k]
+    if t and use_ladder:
+        trig = _trig_ladder(plan, x).astype(_stash_dtype())
+    elif t:
+        # Phase must be exact: A^T @ x in TRUE f32 (freqs reach
+        # 2**(f-1); HIGHEST beats the TPU default's bf16 truncation)
+        xf = jnp.dot(a_ref[:], x, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST) \
+            + p_ref[:]
+        trig = jnp.sin(xf).astype(_stash_dtype())
+    else:
+        trig = None
+    h, _ = _fwd_layers_trig_t(plan, x, trig, w_refs)
+    y_ref[:] = h
+    if with_stash and t:
+        trig_out_ref[:] = trig
 
 
 def _bwd_layers_trig_t(plan, x, trig, w_refs, dwb_refs, posts, d_h,
-                       needs_dx, needs_dw=True, collect_dpre=None,
-                       ext=None):
+                       needs_dx, needs_dw=True, ext=None):
     """Reverse walk of a transposed layer chain. ``d_h`` is the
     cotangent of the LAST layer's post-activation; ``dwb_refs`` (same
     layout as the w_refs segments) receive += accumulations when
     ``needs_dw``. Returns (d_x, d_trig) accumulated over all consumer
-    layers (None unless ``needs_dx``). ``collect_dpre`` (a dict) is
-    filled with each embedding-consumer layer's pre-activation
-    cotangent -- the per-ray shared-input path turns these into shared
-    weight gradients outside the kernel. Shared by the generic chain
+    layers (None unless ``needs_dx``). Shared by the generic chain
     kernel and the NeRF trunk. ``ext`` optionally reuses the caller's
     prebuilt _build_ext operand. The merged-ext layout keeps both dW
     and the input cotangent to ONE MXU pass per consumer layer
@@ -1547,8 +1470,6 @@ def _bwd_layers_trig_t(plan, x, trig, w_refs, dwb_refs, posts, d_h,
     for i in range(len(plan.widths) - 1, -1, -1):
         s = seg[i]
         d_pre = _act_bwd(plan.acts[i], posts[i], d_h)
-        if collect_dpre is not None and 'ext' in s:
-            collect_dpre[i] = d_pre
         if needs_dw:
             dwb_refs[s['b']][:] += jnp.sum(d_pre, axis=1, keepdims=True)
         d_pre = _dpre_mat(d_pre)
@@ -1571,100 +1492,6 @@ def _bwd_layers_trig_t(plan, x, trig, w_refs, dwb_refs, posts, d_h,
     if not t:
         return d_ext, None
     return d_ext[t + pt:], d_ext[:t]
-
-
-def _fwd_layers_trig_t_multi(plan, exts, w_refs, keep_hidden=False):
-    """Layer walk interleaved over independent lane-slices of one
-    block: per layer, every slice's MXU dot is emitted before any
-    slice's VPU activation, so Mosaic's scheduler sees independent
-    MXU and VPU streams to overlap (round-4 occupancy experiment;
-    the serial full-block walk alternates the units instead).
-    Returns (h_per_slice, posts_per_slice)."""
-    seg, _ = _seg_index_map(plan)
-    ns = len(exts)
-    hs = [None] * ns
-    posts = [[] for _ in range(ns)]
-    for i, act in enumerate(plan.acts):
-        s = seg[i]
-        pres = []
-        for k in range(ns):
-            if i == 0:
-                pre = _kdot(w_refs[s['ext']][:], exts[k])
-            elif 'ext' in s:  # skip consumer
-                pre = _kdot(w_refs[s['h']][:], hs[k]) \
-                    + _kdot(w_refs[s['ext']][:], exts[k])
-            elif _tiny_head(plan, i):
-                pre = _vpu_dot_km(w_refs[s['h']][:], hs[k])
-            else:
-                pre = _kdot(w_refs[s['h']][:], hs[k])
-            pres.append(pre + w_refs[s['b']][:])
-        for k in range(ns):
-            hs[k] = _hidden_act(plan, i, pres[k])
-            if keep_hidden:
-                posts[k].append(hs[k])
-    return hs, posts
-
-
-def _bwd_layers_trig_t_multi(plan, exts, w_refs, dwb_refs, posts, d_hs,
-                             needs_dx, needs_dw=True):
-    """Reverse walk interleaved over lane-slices (see the forward
-    twin). dW contributions from all slices are summed (f32, tiny)
-    before each accumulator +=. Returns per-slice d_ext arrays (the
-    caller splits trig/x rows)."""
-    seg, _ = _seg_index_map(plan)
-    ns = len(exts)
-    d_exts = [jnp.zeros((ext_rows(plan), e.shape[1]), jnp.float32)
-              for e in exts] if needs_dx else None
-    for i in range(len(plan.widths) - 1, -1, -1):
-        s = seg[i]
-        d_pres = [_act_bwd(plan.acts[i], posts[k][i], d_hs[k])
-                  for k in range(ns)]
-        if needs_dw:
-            dwb_refs[s['b']][:] += sum(
-                jnp.sum(d, axis=1, keepdims=True) for d in d_pres)
-        d_pres = [_dpre_mat(d) for d in d_pres]
-        if 'ext' in s:
-            if needs_dw:
-                dwb_refs[s['ext']][:] += sum(
-                    _kdot_nt(d_pres[k], exts[k]) for k in range(ns))
-            if needs_dx:
-                d_exts = [d_exts[k] + _kdot_tn(w_refs[s['ext']][:],
-                                               d_pres[k])
-                          for k in range(ns)]
-        if i > 0:
-            if _tiny_head(plan, i):
-                if needs_dw:
-                    dwb_refs[s['h']][:] += sum(
-                        _dw_tiny(posts[k][i - 1], d_pres[k])
-                        for k in range(ns))
-                d_hs = [_vpu_outer_km(w_refs[s['h']][:], d_pres[k])
-                        for k in range(ns)]
-            else:
-                if needs_dw:
-                    dwb_refs[s['h']][:] += sum(
-                        _kdot_nt(d_pres[k], posts[k][i - 1])
-                        for k in range(ns))
-                d_hs = [_kdot_tn(w_refs[s['h']][:], d_pres[k])
-                        for k in range(ns)]
-    return d_exts
-
-
-def _lane_split_from_env():
-    import os
-    return max(1, int(os.environ.get('NERFACTOR_LANE_SPLIT', '1')))
-
-
-# Lane-slice interleave factor for the generic transposed kernels
-# (1 = the serial full-block walk). Set NERFACTOR_LANE_SPLIT to probe.
-LANE_SPLIT = _lane_split_from_env()
-
-
-def _eff_lane_split(block):
-    """Slices must stay 128-lane-tile multiples."""
-    s = LANE_SPLIT
-    while s > 1 and block % (128 * s):
-        s -= 1
-    return s
 
 
 def _bwd_kernel_trig_t(plan, needs_dx, needs_dw, use_ladder, x_ref,
@@ -1691,57 +1518,38 @@ def _bwd_kernel_trig_t(plan, needs_dx, needs_dw, use_ladder, x_ref,
             r[:] = jnp.zeros(r.shape, r.dtype)
 
     x = x_ref[:]
-    pt = _trig_row_pad(plan)
-    ns = _eff_lane_split(x.shape[1])
-    sub = x.shape[1] // ns
-    xs = [x[:, k * sub:(k + 1) * sub] for k in range(ns)]
-    trigs, cosxfs = [], []
-    for xk in xs:
-        cosxf = None
-        if t and use_ladder:
-            # Recompute the trig embedding via the ladder instead of
-            # reading a forward-pass stash from HBM (saves the (T, N)
-            # stash write+read entirely); cos(xf) for the dx branch
-            # falls out of the same recurrences
-            if needs_dx:
-                trig, cosxf = _trig_ladder(plan, xk, with_cos=True)
-            else:
-                trig = _trig_ladder(plan, xk)
-            trig = trig.astype(_stash_dtype())
-        elif t:
-            trig = None  # sliced from the stash ref below
+    cosxf = None
+    if t and use_ladder:
+        # Recompute the trig embedding via the ladder instead of
+        # reading a forward-pass stash from HBM (saves the (T, N)
+        # stash write+read entirely); cos(xf) for the dx branch falls
+        # out of the same recurrences
+        if needs_dx:
+            trig, cosxf = _trig_ladder(plan, x, with_cos=True)
         else:
-            trig = None
-        trigs.append(trig)
-        cosxfs.append(cosxf)
-    if t and not use_ladder:
-        stash = trig_ref[:]  # forward-pass stash
-        trigs = [stash[:, k * sub:(k + 1) * sub] for k in range(ns)]
-    exts = [_build_ext(plan, xk, tk) for xk, tk in zip(xs, trigs)]
-    dy = dy_ref[:]
-    dys = [dy[:, k * sub:(k + 1) * sub] for k in range(ns)]
-    _, posts = _fwd_layers_trig_t_multi(plan, exts, w_refs,
-                                        keep_hidden=True)
-    d_exts = _bwd_layers_trig_t_multi(
-        plan, exts, w_refs, dwb_refs, posts, dys,
-        needs_dx, needs_dw=needs_dw)
+            trig = _trig_ladder(plan, x)
+        trig = trig.astype(_stash_dtype())
+    elif t:
+        trig = trig_ref[:]  # forward-pass stash
+    else:
+        trig = None
+    ext = _build_ext(plan, x, trig)
+    _, posts = _fwd_layers_trig_t(plan, x, trig, w_refs,
+                                  keep_hidden=True, ext=ext)
+    d_x, d_trig = _bwd_layers_trig_t(
+        plan, x, trig, w_refs, dwb_refs, posts, dy_ref[:],
+        needs_dx, needs_dw=needs_dw, ext=ext)
     if needs_dx:
-        for k in range(ns):
-            if not t:
-                d_x = d_exts[k]
-            else:
-                d_x, d_trig = d_exts[k][t + pt:], d_exts[k][:t]
-                cosxf = cosxfs[k]
-                if cosxf is None:
-                    # cos(xf) only feeds dx: recompute the cheap f32
-                    # phase matmul instead of stashing it forward
-                    xf = jnp.dot(a_ref[:], xs[k],
-                                 preferred_element_type=jnp.float32,
-                                 precision=jax.lax.Precision.HIGHEST) \
-                        + p_ref[:]
-                    cosxf = jnp.cos(xf)
-                d_x = d_x + _f32_tn(a_ref[:], d_trig * cosxf)
-            dx_ref[:, k * sub:(k + 1) * sub] = d_x
+        if t and cosxf is None:
+            # cos(xf) only feeds dx: recompute the cheap f32 phase
+            # matmul instead of stashing it in the forward
+            xf = jnp.dot(a_ref[:], x,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST) + p_ref[:]
+            cosxf = jnp.cos(xf)
+        if t:
+            d_x = d_x + _f32_tn(a_ref[:], d_trig * cosxf)
+        dx_ref[:] = d_x
 
 
 def _pick_block_cols_t(plan, backward=False):
@@ -2036,342 +1844,6 @@ def apply_chain(plan, x, params, force_reference=False,
     return _fused_chain(plan, x, params, needs_dx=needs_dx,
                         needs_dw=needs_dw,
                         kernel_dtype=kernel_dtype_for(compute_dtype))
-
-
-# ------ per-ray-shared chains (the lvis-style N x L fan-out) ------
-#
-# The lvis chain evaluates embed([xyz | ldir]) -> MLP at N*L rows, but
-# the xyz half of every embedding-consumer layer depends only on the
-# RAY (N-scale): its pre-activation contribution is identical across a
-# ray's L light directions. This path computes those contributions ONCE
-# per ray at the XLA level (tiny (N, 63) @ (63, 128) matmuls) and feeds
-# them to a light-major 2D-grid kernel: grid = (ray_blocks, L); for a
-# fixed ray block the (G, block) shared operand stays resident in VMEM
-# across the whole inner light loop, and the backward accumulates the
-# shared pre-activation cotangents the same way, so the shared weight
-# gradients finish as N-scale matmuls outside the kernel. Removes the
-# xyz share of the first/skip-layer matmuls, their dW accumulation, and
-# 70% of the trig-ladder transcendentals from the N*L hot loop.
-# (A ray-major layout cannot express this: Mosaic requires 128-lane
-# block multiples, but one ray's L lanes per block would need a
-# (G, block/L) sub-128 shared block.)
-
-def _shared_consumer_layout(plan):
-    """Static layout of the shared contributions: [(layer, offset,
-    width)] and the total shared row count G."""
-    per = _shared_per_plan(plan)
-    seg, _ = _seg_index_map(per)
-    layout, off = [], 0
-    for i, s in enumerate(seg):
-        if 'ext' in s:
-            layout.append((i, off, plan.widths[i]))
-            off += plan.widths[i]
-    return tuple(layout), off
-
-
-def _shared_per_plan(plan):
-    """The kernel-side plan: embed part 0 (the shared/ray part)
-    removed."""
-    assert len(plan.embed_parts) == 2, plan.embed_parts
-    assert not _last_skip(plan), "output-embed plans are not supported"
-    return make_plan([plan.embed_parts[1]], plan.widths, plan.acts,
-                     plan.skip_at)
-
-
-def _shared_embed_plan(plan):
-    return make_plan([plan.embed_parts[0]], (), (), ())
-
-
-def _split_params_shared(plan, params):
-    """Full (w, b) list -> (per-plan (w, b) list, [shared (D0e, w_i)
-    weight slices] in _shared_consumer_layout order)."""
-    d0, f0 = plan.embed_parts[0]
-    d0e = encoding.embed_dims(d0, f0) if f0 else d0
-    layout, _ = _shared_consumer_layout(plan)
-    consumers = {i for i, _, _ in layout}
-    per, shared = [], []
-    for i, (w, b) in enumerate(params):
-        if i in consumers:
-            hw = 0 if i == 0 else plan.widths[i - 1]
-            shared.append(w[hw:hw + d0e])
-            w = jnp.concatenate([w[:hw], w[hw + d0e:]], axis=0) \
-                if hw else w[d0e:]
-        per.append((w, b))
-    return per, shared
-
-
-def _merge_dparams_shared(plan, dper, dshared_ws):
-    """Inverse of _split_params_shared on gradients."""
-    layout, _ = _shared_consumer_layout(plan)
-    consumers = {i: j for j, (i, _, _) in enumerate(layout)}
-    out = []
-    for i, (dw, db) in enumerate(dper):
-        if i in consumers:
-            hw = 0 if i == 0 else plan.widths[i - 1]
-            ds = dshared_ws[consumers[i]]
-            dw = jnp.concatenate([dw[:hw], ds, dw[hw:]], axis=0)
-        out.append((dw, db))
-    return out
-
-
-def _pick_block_rays(per_plan, g, backward=False):
-    """Ray-block (lane) pick for the shared kernels: the standard
-    VMEM cost model plus the resident shared rows (and their cotangent
-    accumulator in the backward)."""
-    import os
-    name = ('NERFACTOR_SHARED_BLOCK_BWD' if backward
-            else 'NERFACTOR_SHARED_BLOCK_FWD')
-    env = os.environ.get(name)
-    pad8 = lambda d: max(8, -(-d) // 8 * 8)
-    maxw = max(pad8(w) for w in per_plan.widths)
-    t, raw = pad8(trig_dim(per_plan)), pad8(raw_dim(per_plan))
-    gp = pad8(g)
-    if backward:
-        feats = 2 * t + (len(per_plan.widths) + 5) * maxw + 2 * raw \
-            + 2 * gp + 64
-    else:
-        feats = t + 3 * maxw + raw + gp + 64
-    if env:
-        return _validated_env_block(name, env, feats=feats)
-    budget = 14 * 1024 * 1024
-    for block in (8192, 4096, 2048, 1024, 512, 256):
-        if feats * block * _bytes_per_feat() <= budget:
-            return block
-    return 128
-
-
-def _full_spec2(shape):
-    return pl.BlockSpec(shape, lambda i, j: (0,) * len(shape),
-                        memory_space=pltpu.VMEM)
-
-
-def _fwd_kernel_shared_t(per_plan, layout, x_ref, shared_ref, *refs):
-    y_ref = refs[-1]
-    w_refs = refs[:-1]
-    x = x_ref[:]
-    trig = _trig_ladder(per_plan, x).astype(_stash_dtype()) \
-        if trig_dim(per_plan) else None
-    shared = shared_ref[:]
-    adds = {i: shared[o:o + w, :] for i, o, w in layout}
-    h, _ = _fwd_layers_trig_t(per_plan, x, trig, w_refs,
-                              shared_adds=adds)
-    y_ref[:] = h
-
-
-def _bwd_kernel_shared_t(per_plan, layout, needs_dw, x_ref, dy_ref,
-                         shared_ref, *refs):
-    _, n_seg = _seg_index_map(per_plan)
-    w_refs = refs[:n_seg]
-    rest = refs[n_seg:]
-    dshared_ref = rest[0]
-    dwb_refs = rest[1:]
-
-    @pl.when(pl.program_id(1) == 0)
-    def _():
-        dshared_ref[:] = jnp.zeros(dshared_ref.shape, dshared_ref.dtype)
-
-    if needs_dw:
-        @pl.when(jnp.logical_and(pl.program_id(0) == 0,
-                                 pl.program_id(1) == 0))
-        def _():
-            for r in dwb_refs:
-                r[:] = jnp.zeros(r.shape, r.dtype)
-
-    x = x_ref[:]
-    trig = _trig_ladder(per_plan, x).astype(_stash_dtype()) \
-        if trig_dim(per_plan) else None
-    shared = shared_ref[:]
-    adds = {i: shared[o:o + w, :] for i, o, w in layout}
-    _, posts = _fwd_layers_trig_t(per_plan, x, trig, w_refs,
-                                  keep_hidden=True, shared_adds=adds)
-    dpre = {}
-    _bwd_layers_trig_t(per_plan, x, trig, w_refs, dwb_refs, posts,
-                       dy_ref[:], needs_dx=False, needs_dw=needs_dw,
-                       collect_dpre=dpre)
-    for i, o, w in layout:
-        dshared_ref[o:o + w, :] += dpre[i]
-
-
-def _shared_lm(arr, npad, block):
-    """(N, L, d) -> light-major transposed (d, L * npad) with ray
-    padding; column index = l * npad + ray."""
-    n, l, d = arr.shape
-    if npad != n:
-        arr = jnp.concatenate(
-            [arr, jnp.zeros((npad - n, l, d), arr.dtype)], axis=0)
-    return arr.transpose(2, 1, 0).reshape(d, l * npad)
-
-
-def _pallas_forward_shared_rays(plan, x_shared, x_per, params):
-    per_plan = _shared_per_plan(plan)
-    layout, g = _shared_consumer_layout(plan)
-    per_params, shared_ws = _split_params_shared(plan, params)
-    e_x = _embed(_shared_embed_plan(plan), x_shared)  # (N, D0e)
-    shared = jnp.concatenate(
-        [jnp.matmul(e_x, w, precision=_ref_prec(e_x, w))
-         for w in shared_ws], axis=1)  # (N, G)
-    n, l, d1 = x_per.shape
-    block = _clamp_block(_pick_block_rays(per_plan, g), n)
-    npad = -(-n // block) * block
-    rb = npad // block
-    xt = _shared_lm(x_per, npad, block)
-    st = jnp.concatenate(
-        [shared, jnp.zeros((npad - n, g), shared.dtype)], axis=0).T \
-        if npad != n else shared.T
-    flat = _flatten_params_t(per_plan, per_params)
-    od = out_dim(per_plan)
-    in_specs = [
-        pl.BlockSpec((d1, block), lambda i, j: (0, j * rb + i),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((g, block), lambda i, j: (0, i),
-                     memory_space=pltpu.VMEM)]
-    in_specs += [_full_spec2(arr.shape) for arr in flat]
-    y = pl.pallas_call(
-        functools.partial(_fwd_kernel_shared_t, per_plan, layout),
-        grid=(rb, l),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((od, block), lambda i, j: (0, j * rb + i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((od, l * npad), jnp.float32),
-        interpret=INTERPRET,
-    )(xt, st, *flat)
-    y = y.reshape(od, l, npad).transpose(2, 1, 0)[:n]  # (N, L, od)
-    return y, (e_x, shared, per_params)
-
-
-def _pallas_backward_shared_rays(plan, x_shared, x_per, params, dy,
-                                 needs_dw):
-    per_plan = _shared_per_plan(plan)
-    layout, g = _shared_consumer_layout(plan)
-    per_params, shared_ws = _split_params_shared(plan, params)
-    e_x = _embed(_shared_embed_plan(plan), x_shared)
-    shared = jnp.concatenate(
-        [jnp.matmul(e_x, w, precision=_ref_prec(e_x, w))
-         for w in shared_ws], axis=1)
-    n, l, d1 = x_per.shape
-    block = _clamp_block(_pick_block_rays(per_plan, g, backward=True), n)
-    npad = -(-n // block) * block
-    rb = npad // block
-    xt = _shared_lm(x_per, npad, block)
-    dyt = _shared_lm(dy, npad, block)
-    st = jnp.concatenate(
-        [shared, jnp.zeros((npad - n, g), shared.dtype)], axis=0).T \
-        if npad != n else shared.T
-    flat = _flatten_params_t(per_plan, per_params)
-    od = out_dim(per_plan)
-    in_specs = [
-        pl.BlockSpec((d1, block), lambda i, j: (0, j * rb + i),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((od, block), lambda i, j: (0, j * rb + i),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((g, block), lambda i, j: (0, i),
-                     memory_space=pltpu.VMEM)]
-    in_specs += [_full_spec2(arr.shape) for arr in flat]
-    out_specs = [pl.BlockSpec((g, block), lambda i, j: (0, i),
-                              memory_space=pltpu.VMEM)]
-    out_shapes = [jax.ShapeDtypeStruct((g, npad), jnp.float32)]
-    if needs_dw:
-        for arr in flat:
-            out_specs.append(_full_spec2(arr.shape))
-            out_shapes.append(
-                jax.ShapeDtypeStruct(arr.shape, jnp.float32))
-    outs = pl.pallas_call(
-        functools.partial(_bwd_kernel_shared_t, per_plan, layout,
-                          needs_dw),
-        grid=(rb, l),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        interpret=INTERPRET,
-    )(xt, dyt, st, *flat)
-    if not isinstance(outs, (list, tuple)):
-        outs = [outs]
-    d_shared = outs[0][:, :n].T  # (N, G)
-    if not needs_dw:
-        return [(jnp.zeros_like(w), jnp.zeros_like(b))
-                for w, b in params]
-    dper = _unflatten_dparams_t(per_plan, outs[1:])
-    # Finish the shared weight gradients at N scale:
-    # dW_shared_i = e_x^T @ d_shared_i
-    dshared_ws = []
-    for _, o, w in layout:
-        ds = d_shared[:, o:o + w]
-        dshared_ws.append(jax.lax.dot_general(
-            e_x, ds, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_ref_prec(e_x, ds)))
-    return _merge_dparams_shared(plan, dper, dshared_ws)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _shared_chain_impl(plan, needs_dw, kdtype, x_shared, x_per, params):
-    with _kernel_dtype_scope(kdtype):
-        y, _ = _pallas_forward_shared_rays(plan, x_shared, x_per,
-                                           params)
-    return y
-
-
-def _shared_chain_impl_fwd(plan, needs_dw, kdtype, x_shared, x_per,
-                           params):
-    with _kernel_dtype_scope(kdtype):
-        y, _ = _pallas_forward_shared_rays(plan, x_shared, x_per,
-                                           params)
-    return y, (x_shared, x_per, params)
-
-
-def _shared_chain_impl_bwd(plan, needs_dw, kdtype, res, dy):
-    x_shared, x_per, params = res
-    if not needs_dw:
-        # Inputs are data by contract; fully frozen chain -> no
-        # backward kernel at all
-        return (jnp.zeros_like(x_shared), jnp.zeros_like(x_per),
-                tuple((jnp.zeros_like(w), jnp.zeros_like(b))
-                      for w, b in params))
-    with _kernel_dtype_scope(kdtype):
-        dparams = _pallas_backward_shared_rays(
-            plan, x_shared, x_per, params, dy, needs_dw)
-    return (jnp.zeros_like(x_shared), jnp.zeros_like(x_per),
-            tuple(tuple(wb) for wb in dparams))
-
-
-_shared_chain_impl.defvjp(_shared_chain_impl_fwd, _shared_chain_impl_bwd)
-
-
-def apply_chain_shared_rays(plan, x_shared, x_per, params,
-                            force_reference=False, compute_dtype=None,
-                            needs_dx=False, needs_dw=True):
-    """Fused chain over an (N, L) fan-out whose embed part 0 depends
-    only on the ray: x_shared (N, d0), x_per (N, L, d1) ->
-    (N, L, out). Inputs are data by contract (needs_dx=False is the
-    only implemented mode -- the backward kernel hard-codes zero input
-    cotangents); set needs_dw=False for fully frozen chains.
-
-    On TPU this runs the light-major shared-ray kernels (see the
-    section comment); elsewhere it falls back to the exact dense
-    reference program.
-    """
-    if needs_dx:
-        raise NotImplementedError(
-            'apply_chain_shared_rays assumes its inputs are data '
-            '(needs_dx=False): the backward kernel returns zero '
-            'x_shared/x_per cotangents. Use apply_chain for inputs '
-            'that depend on trainable parameters.')
-    params = [(w, b) for w, b in params]
-    if force_reference or (jax.default_backend() != 'tpu'
-                           and not INTERPRET):
-        n, l, d1 = x_per.shape
-        x_cat = jnp.concatenate(
-            [jnp.broadcast_to(
-                x_shared[:, None, :],
-                (n, l, x_shared.shape[1])).reshape(n * l, -1),
-             x_per.reshape(n * l, d1)], axis=1)
-        y = chain_reference(plan, x_cat, params,
-                            compute_dtype=compute_dtype)
-        return y.reshape(n, l, -1)
-    return _shared_chain_impl(plan, needs_dw,
-                              kernel_dtype_for(compute_dtype),
-                              x_shared, x_per,
-                              tuple((w, b) for w, b in params))
 
 
 def plan_from_specs(embed_parts, mlp_spec, out_spec):

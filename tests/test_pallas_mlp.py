@@ -115,51 +115,6 @@ def test_reference_matches_networks_apply():
                                atol=1e-6)
 
 
-@pytest.mark.parametrize('plan', PLANS[:2])
-@pytest.mark.parametrize('l', [4, 7])
-def test_chain_reference_shared_matches_concat(plan, l):
-    """Shared-part split == chain_reference on the tiled concat input,
-    values AND gradients (f32 exact)."""
-    params = make_params(plan, seed=11)
-    rng = np.random.RandomState(12)
-    n = 16
-    d0 = plan.embed_parts[0][0]
-    dr = pm.raw_dim(plan) - d0
-    xs = jnp.asarray(rng.randn(n, d0), jnp.float32)
-    xr = jnp.asarray(rng.randn(n * l, dr), jnp.float32)
-    co = jnp.asarray(rng.randn(n * l, pm.out_dim(plan)), jnp.float32)
-
-    x_full = jnp.concatenate(
-        [jnp.broadcast_to(xs[:, None, :], (n, l, d0)).reshape(-1, d0),
-         xr], axis=1)
-
-    def loss_ref(xs_, xr_, p_):
-        xf = jnp.concatenate(
-            [jnp.broadcast_to(xs_[:, None, :], (n, l, d0)).reshape(-1, d0),
-             xr_], axis=1)
-        return jnp.sum(pm.chain_reference(plan, xf, p_) * co)
-
-    def loss_shared(xs_, xr_, p_):
-        return jnp.sum(
-            pm.chain_reference_shared(plan, xs_, xr_, p_) * co)
-
-    out_ref = pm.chain_reference(plan, x_full, params)
-    out_shared = pm.chain_reference_shared(plan, xs, xr, params)
-    np.testing.assert_allclose(np.asarray(out_shared), np.asarray(out_ref),
-                               rtol=1e-5, atol=1e-6)
-    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(xs, xr, params)
-    g_sh = jax.grad(loss_shared, argnums=(0, 1, 2))(xs, xr, params)
-    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
-                    jax.tree_util.tree_leaves(g_sh)):
-        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   rtol=2e-4, atol=1e-5)
-    # bf16 mode stays within bf16 tolerance
-    out_bf = pm.chain_reference_shared(plan, xs, xr, params,
-                                       compute_dtype=jnp.bfloat16)
-    np.testing.assert_allclose(np.asarray(out_bf), np.asarray(out_ref),
-                               rtol=0.1, atol=0.05)
-
-
 @pytest.mark.parametrize('plan', PLANS[:3])
 def test_needs_dx_false_weight_grads_match(plan):
     """needs_dx=False skips the input-cotangent branch but must leave
@@ -290,102 +245,6 @@ def test_kernel_dtype_for_mapping():
     assert pm.kernel_dtype_for(jnp.bfloat16) == jnp.bfloat16
     with pytest.raises(ValueError, match='compute_dtype'):
         pm.kernel_dtype_for(jnp.float16)
-
-
-def test_shared_rays_rejects_needs_dx():
-    """needs_dx=True is not implemented for the shared-ray kernel (its
-    backward hard-codes zero input cotangents) -- it must fail loudly
-    instead of silently returning zero gradients (ADVICE round 3)."""
-    plan = pm.make_plan([(3, 2), (3, 1)], (16, 16, 8), ('relu',) * 3,
-                        (0,))
-    params = make_params(plan)
-    x_s = jnp.zeros((4, 3))
-    x_p = jnp.zeros((4, 2, 3))
-    with pytest.raises(NotImplementedError, match='needs_dx'):
-        pm.apply_chain_shared_rays(plan, x_s, x_p, params, needs_dx=True)
-
-
-SHARED_PLANS = [
-    # lvis-shaped: xyz posenc + ldir posenc, mid skip, sigmoid head
-    pm.make_plan([(3, 10), (3, 4)], (16, 16, 16, 1),
-                 ('relu', 'relu', 'relu', 'sigmoid'), (1,)),
-    # no skip
-    pm.make_plan([(3, 2), (3, 2)], (16, 3), ('relu', None), ()),
-]
-
-
-@pytest.mark.parametrize('plan', SHARED_PLANS)
-@pytest.mark.parametrize('n_l', [(40, 32), (128, 24)])
-def test_shared_rays_forward_matches_dense(plan, n_l):
-    """apply_chain_shared_rays (per-ray xyz contributions + light-major
-    2D-grid kernel) must match the dense concat program exactly in f32
-    (round 3; ray padding exercised by n=40)."""
-    n, l = n_l
-    params = make_params(plan)
-    rng = np.random.RandomState(3)
-    xs = jnp.asarray(rng.randn(n, plan.embed_parts[0][0]), jnp.float32)
-    xp = jnp.asarray(rng.randn(n, l, plan.embed_parts[1][0]),
-                     jnp.float32)
-    ref = pm.apply_chain_shared_rays(plan, xs, xp, params,
-                                     force_reference=True)
-    out = pm._shared_chain_impl(plan, True, 'default', xs, xp,
-                                tuple(params))
-    assert out.shape == (n, l, pm.out_dim(plan))
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=1e-5, atol=1e-5)
-
-
-@pytest.mark.parametrize('plan', SHARED_PLANS)
-def test_shared_rays_weight_grads_match_dense(plan):
-    n, l = 40, 32
-    params = tuple(make_params(plan, seed=5))
-    rng = np.random.RandomState(6)
-    xs = jnp.asarray(rng.randn(n, plan.embed_parts[0][0]), jnp.float32)
-    xp = jnp.asarray(rng.randn(n, l, plan.embed_parts[1][0]),
-                     jnp.float32)
-    co = jnp.asarray(rng.randn(n, l, pm.out_dim(plan)), jnp.float32)
-
-    def loss(fn):
-        return lambda p: jnp.sum(fn(p) * co)
-
-    g_ref = jax.grad(loss(lambda p: pm.apply_chain_shared_rays(
-        plan, xs, xp, p, force_reference=True)))(params)
-    g_k = jax.grad(loss(lambda p: pm._shared_chain_impl(
-        plan, True, 'default', xs, xp, p)))(params)
-    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
-                    jax.tree_util.tree_leaves(g_k)):
-        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   rtol=1e-4, atol=1e-4)
-
-
-def test_shared_rays_needs_dw_false_zero_grads():
-    plan = SHARED_PLANS[0]
-    params = tuple(make_params(plan))
-    rng = np.random.RandomState(7)
-    xs = jnp.asarray(rng.randn(16, 3), jnp.float32)
-    xp = jnp.asarray(rng.randn(16, 8, 3), jnp.float32)
-
-    def loss(p):
-        return jnp.sum(pm._shared_chain_impl(
-            plan, False, 'default', xs, xp, p) ** 2)
-
-    g = jax.grad(loss)(params)
-    for leaf in jax.tree_util.tree_leaves(g):
-        assert not np.asarray(leaf).any()
-
-
-def test_shared_split_roundtrip():
-    """Weight split/merge must be exact inverses on the consumer
-    layers."""
-    plan = SHARED_PLANS[0]
-    params = make_params(plan, seed=9)
-    per, shared_ws = pm._split_params_shared(plan, params)
-    layout, g = pm._shared_consumer_layout(plan)
-    assert g == sum(w for _, _, w in layout)
-    merged = pm._merge_dparams_shared(plan, per, shared_ws)
-    for (aw, ab), (bw, bb) in zip(params, merged):
-        np.testing.assert_array_equal(np.asarray(aw), np.asarray(bw))
-        np.testing.assert_array_equal(np.asarray(ab), np.asarray(bb))
 
 
 def test_kernel_under_jit_and_vjp_in_train_shape():
