@@ -74,11 +74,27 @@ def load_config(config_flag, override=''):
 
 
 class SummaryWriter:
-    """Append-only JSONL scalar log (TensorBoard-equivalent artifact)."""
+    """Append-only JSONL scalar log, plus — when TensorFlow is
+    importable and ``tensorboard`` is on — real TensorBoard event
+    files in the same summary directory, so ``tensorboard --logdir
+    <outdir>`` works exactly as with the reference
+    (reference trainvali.py:149-152,203-220,240-254). The JSONL stays
+    the canonical artifact (grep-able on headless TPU hosts); the
+    event files are ecosystem parity. No TF dependency is required:
+    absence degrades to JSONL-only with a warning."""
 
-    def __init__(self, path):
+    def __init__(self, path, tensorboard=True):
         self.path = path
         os.makedirs(dirname(path), exist_ok=True)
+        self._tf, self._tb = None, None
+        if tensorboard:
+            try:
+                import tensorflow as tf
+                self._tf = tf
+                self._tb = tf.summary.create_file_writer(dirname(path))
+            except Exception as exc:  # no TF in env: JSONL only
+                logger.warn('TensorBoard writer unavailable (%s); '
+                            'writing JSONL scalars only', exc)
 
     def scalars(self, step, **kv):
         rec = {'step': int(step)}
@@ -87,11 +103,24 @@ class SummaryWriter:
         with open(self.path, 'a') as h:
             import json
             h.write(json.dumps(rec) + '\n')
+        if self._tb is not None:
+            with self._tb.as_default():
+                for k, v in kv.items():
+                    if v is not None:
+                        self._tf.summary.scalar(k, float(v),
+                                                step=int(step))
 
     def text(self, step, tag, value):
         with open(self.path, 'a') as h:
             import json
             h.write(json.dumps({'step': int(step), tag: value}) + '\n')
+        if self._tb is not None:
+            with self._tb.as_default():
+                self._tf.summary.text(tag, str(value), step=int(step))
+
+    def flush(self):
+        if self._tb is not None:
+            self._tb.flush()
 
 
 def split_batch(dataset, batch):
@@ -317,10 +346,16 @@ def main(argv=None):
             n_steps=scan_steps)
     vali_step = make_eval_step(model, mode='vali')
 
+    # TensorBoard event files alongside the JSONL (reference
+    # trainvali.py:149-152 parity); host 0 only under --multihost
+    write_tb = config.getboolean('tensorboard', fallback=True) \
+        and is_lead
     writer_train = SummaryWriter(join(outdir, 'summary_train',
-                                      'scalars.jsonl'))
+                                      'scalars.jsonl'),
+                                 tensorboard=write_tb)
     writer_vali = SummaryWriter(join(outdir, 'summary_vali',
-                                     'scalars.jsonl'))
+                                     'scalars.jsonl'),
+                                tensorboard=write_tb)
     train_vis_epoch_dir = join(outdir, 'vis_train', 'epoch{e:09d}')
     vali_vis_epoch_dir = join(outdir, 'vis_vali', 'epoch{e:09d}')
     train_epoch_deque = deque([], max_to_keep)
@@ -454,6 +489,8 @@ def main(argv=None):
         # Fewer steps ran than requested; close the trace cleanly
         jax.profiler.stop_trace()
         logger.info("Profiler trace written (training ended first)")
+    writer_train.flush()
+    writer_vali.flush()
     logger.info("Training done (%d epochs)", epochs)
     if args.multihost:
         # Orderly teardown: the coordinator must outlive the other

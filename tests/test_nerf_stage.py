@@ -50,6 +50,26 @@ def test_nerf_training(nerf_run):
     assert 'psnr' in metadata and metadata['psnr'] > 5
 
 
+def test_tensorboard_event_files(nerf_run):
+    """Real TB event files are written alongside the JSONL (reference
+    trainvali.py:149-152 ecosystem parity; TF is importable here)."""
+    import glob
+    outdir = join(nerf_run, 'lr5e-4')
+    for sub in ('summary_train', 'summary_vali'):
+        events = glob.glob(join(outdir, sub, 'events.out.tfevents.*'))
+        assert events, 'no TB event file in %s' % sub
+    # The train events actually carry the loss scalar
+    from tensorflow.python.summary.summary_iterator import (
+        summary_iterator)
+    tags = set()
+    for path in glob.glob(join(outdir, 'summary_train',
+                               'events.out.tfevents.*')):
+        for ev in summary_iterator(path):
+            for v in ev.summary.value:
+                tags.add(v.tag)
+    assert 'loss_train' in tags, tags
+
+
 def test_nerf_test_rendering(nerf_run):
     outdir = join(nerf_run, 'lr5e-4')
     from nerfactor_tpu import nerf_test
