@@ -16,11 +16,22 @@ TPU-first design vs the reference:
     in fixed-size pair blocks and mask, which keeps shapes static for
     XLA and the MXU fed;
   * ``--lpix_chunk`` is accepted for CLI parity but unused (all light
-    pixels go in one pass).
+    pixels go in one pass);
+  * blocks are dispatched as jitted ``lax.map`` SUPER-blocks with the
+    device->host conversion lagging one super behind, so the tunneled
+    per-dispatch RTT and result transfers hide behind compute
+    (measured round 4, tools/march_probe: per-block sync costs ~25 ms
+    RTT against ~9 ms of device work -- a 3.8x wall-clock tax on the
+    stage that dominates the published pipeline);
+  * per-view buffer writes (PNG/mp4 encode + the HxWx512 lvis.npy)
+    run on a background writer thread, overlapped with the next
+    view's device compute.
 """
 
 import argparse
 import os
+import queue
+import threading
 from os.path import join, basename, exists
 
 import jax
@@ -130,8 +141,51 @@ class GeometryDistiller:
         # guidance, nerfactor/README.md:119).
         self.pair_block = max(256, 8 * args.mlp_chunk // max(
             self.n_coarse + self.n_fine, 1))
+        self.lvis_block_pts = max(1, self.pair_block // self.n_lights)
         self._depth_normal_block = jax.jit(self._depth_normal_block_fn)
         self._lvis_block = jax.jit(self._lvis_block_fn)
+        # Super-dispatch: one jitted lax.map over a fixed number of
+        # blocks per call, so each tunneled dispatch carries ~1 s of
+        # device work and ONE result transfer. Measured round 4
+        # (tools/march_probe, flagship shapes): per-block sync is
+        # ~34 ms wall against ~9 ms device; supers + lag-1 conversion
+        # recover the device-limited rate.
+        self._lvis_super_k = -(-2048 // self.lvis_block_pts)
+        self._dn_super_k = -(-16384 // self.ray_block)
+        self._depth_normal_super = jax.jit(lambda o, d: jax.lax.map(
+            lambda t: self._depth_normal_block_fn(*t), (o, d)))
+        self._lvis_super = jax.jit(lambda s, n: jax.lax.map(
+            lambda t: self._lvis_block_fn(*t), (s, n)))
+
+    def _super_mapped(self, fn, inputs, block, k):
+        """Runs jitted ``fn`` over (n, ...) host arrays as (k, block,
+        ...) supers, converting each result one super BEHIND the
+        dispatches so transfers ride under compute. Returns (n, ...)
+        numpy outputs (tuple-structured if ``fn`` returns a tuple)."""
+        n = inputs[0].shape[0]
+        sup = block * k
+        n_sup = max(1, -(-n // sup))
+        pad = n_sup * sup - n
+        shaped = []
+        for a in inputs:
+            if pad:
+                a = np.concatenate([a, np.repeat(a[-1:], pad, 0)], 0)
+            shaped.append(np.reshape(a, (n_sup, k, block) + a.shape[1:]))
+        collected, pending = [], None
+        for i in range(n_sup):
+            res = fn(*(jnp.asarray(a[i]) for a in shaped))
+            if pending is not None:
+                collected.append(
+                    jax.tree_util.tree_map(np.asarray, pending))
+            pending = res
+        collected.append(jax.tree_util.tree_map(np.asarray, pending))
+
+        def merge(*xs):
+            flat = np.concatenate(
+                [np.reshape(x, (-1,) + x.shape[2:]) for x in xs], axis=0)
+            return flat[:n]
+
+        return jax.tree_util.tree_map(merge, *collected)
 
     # ------ camera -> object ------
 
@@ -179,26 +233,10 @@ class GeometryDistiller:
         return occu, exp_depth, exp_normal
 
     def compute_depth_and_normal(self, rayo, rayd):
-        """Host-level loop over fixed ray blocks."""
-        n = rayo.shape[0]
-        block = self.ray_block
-        outs = []
-        for i in range(0, n, block):
-            o = rayo[i:i + block]
-            d = rayd[i:i + block]
-            pad = block - o.shape[0]
-            if pad:
-                o = np.concatenate([o, np.repeat(o[-1:], pad, 0)], 0)
-                d = np.concatenate([d, np.repeat(d[-1:], pad, 0)], 0)
-            occu, depth, normal = self._depth_normal_block(
-                jnp.asarray(o), jnp.asarray(d))
-            take = block - pad
-            outs.append((np.asarray(occu)[:take], np.asarray(depth)[:take],
-                         np.asarray(normal)[:take]))
-        occu = np.concatenate([x[0] for x in outs])
-        depth = np.concatenate([x[1] for x in outs])
-        normal = np.concatenate([x[2] for x in outs])
-        return occu, depth, normal
+        """Super-blocked host loop over fixed ray blocks."""
+        return self._super_mapped(
+            self._depth_normal_super, [rayo, rayd],
+            self.ray_block, self._dn_super_k)
 
     # ------ object -> light ------
 
@@ -233,19 +271,46 @@ class GeometryDistiller:
         return jnp.where(front_lit, lvis, 0.0)
 
     def compute_light_visibility(self, surf, normal):
-        n = surf.shape[0]
-        block = max(1, self.pair_block // self.n_lights)
-        outs = []
-        for i in range(0, n, block):
-            sb = surf[i:i + block]
-            nb = normal[i:i + block]
-            pad = block - sb.shape[0]
-            if pad:
-                sb = np.concatenate([sb, np.repeat(sb[-1:], pad, 0)], 0)
-                nb = np.concatenate([nb, np.repeat(nb[-1:], pad, 0)], 0)
-            lvis = self._lvis_block(jnp.asarray(sb), jnp.asarray(nb))
-            outs.append(np.asarray(lvis)[:block - pad])
-        return np.clip(np.concatenate(outs, axis=0), 0.0, 1.0)
+        if surf.shape[0] == 0:
+            return np.zeros((0, self.n_lights), np.float32)
+        lvis = self._super_mapped(
+            self._lvis_super, [surf, normal],
+            self.lvis_block_pts, self._lvis_super_k)
+        return np.clip(lvis, 0.0, 1.0)
+
+
+class AsyncWriter:
+    """One background thread for per-view buffer writes, so the host-
+    side PNG/mp4 encoding and the HxWx512 lvis.npy write overlap the
+    next view's device compute. maxsize bounds the in-flight lvis
+    buffers (~0.5 GB each at 512px)."""
+
+    def __init__(self, maxsize=2):
+        self._q = queue.Queue(maxsize=maxsize)
+        self._err = None
+        self._t = threading.Thread(target=self._run, daemon=True)
+        self._t.start()
+
+    def _run(self):
+        while True:
+            fn = self._q.get()
+            if fn is None:
+                return
+            try:
+                fn()
+            except BaseException as e:  # re-raised on the main thread
+                self._err = e
+
+    def submit(self, fn):
+        if self._err is not None:
+            raise self._err
+        self._q.put(fn)
+
+    def close(self):
+        self._q.put(None)
+        self._t.join()
+        if self._err is not None:
+            raise self._err
 
 
 def average_supersamples(map_ss, sps):
@@ -256,7 +321,7 @@ def average_supersamples(map_ss, sps):
     return np.mean(np.stack(maps, axis=0), axis=0)
 
 
-def process_view(distiller, batch, out_root, args):
+def process_view(distiller, batch, out_root, args, writer=None):
     sps = int(np.sqrt(args.spp))
     id_ = batch['id']
     hw = tuple(int(x) for x in batch['hw'])
@@ -280,12 +345,10 @@ def process_view(distiller, batch, out_root, args):
     hw_ss = (hw[0] * sps, hw[1] * sps)
     alpha_map = average_supersamples(occu.reshape(hw_ss), sps)
     alpha_map = np.clip(alpha_map, 0.0, 1.0)
-    buffers.write_alpha(alpha_map, out_dir)
 
     surf = rayo + rayd * exp_depth[:, None]
     xyz_map = average_supersamples(surf.reshape(hw_ss + (3,)), sps)
     xyz_map = imgops.alpha_blend(xyz_map, alpha_map)
-    buffers.write_xyz(xyz_map, out_dir)
 
     normal_map = average_supersamples(exp_normal.reshape(hw_ss + (3,)), sps)
     # Background normals filled with (0, 1, 0): (0, 0, 0) would produce
@@ -296,7 +359,6 @@ def process_view(distiller, batch, out_root, args):
     norm = np.linalg.norm(normal_map, axis=2, keepdims=True)
     normal_map = normal_map / np.maximum(norm, 1e-12)
     normal_map = np.clip(normal_map, -1.0, 1.0)
-    buffers.write_normal(normal_map, out_dir)
 
     # Surface -> light visibility, only for hit pixels
     hit = alpha_map.reshape(-1) > 0
@@ -308,8 +370,18 @@ def process_view(distiller, batch, out_root, args):
     lvis = np.zeros(hw + (n_lights,), dtype=np.float32)
     lvis[hit.reshape(hw)] = lvis_hit
     lvis *= alpha_map.reshape(hw + (1,))
-    buffers.write_lvis(lvis, args.fps, out_dir,
-                       dtype=np.dtype(args.lvis_dtype))
+
+    def write_all():
+        buffers.write_alpha(alpha_map, out_dir)
+        buffers.write_xyz(xyz_map, out_dir)
+        buffers.write_normal(normal_map, out_dir)
+        buffers.write_lvis(lvis, args.fps, out_dir,
+                           dtype=np.dtype(args.lvis_dtype))
+
+    if writer is None:
+        write_all()
+    else:
+        writer.submit(write_all)
 
 
 def main(argv=None):
@@ -339,25 +411,30 @@ def main(argv=None):
     Dataset = datasets.get_dataset_class(config.get('dataset'))
     from nerfactor_tpu.trainvali import split_batch
     view_i = 0
-    for mode in ('train', 'vali', 'test'):
-        try:
-            dataset = Dataset(config, mode, always_all_rays=True,
-                              spp=args.spp)
-        except FileNotFoundError:
-            logger.warn("No '%s' views; skipping", mode)
-            continue
-        datapipe = dataset.build_pipeline(no_shuffle=True)
-        for batch in datapipe:
-            if view_i % shard_n != shard_i:
-                view_i += 1
+    writer = AsyncWriter()
+    try:
+        for mode in ('train', 'vali', 'test'):
+            try:
+                dataset = Dataset(config, mode, always_all_rays=True,
+                                  spp=args.spp)
+            except FileNotFoundError:
+                logger.warn("No '%s' views; skipping", mode)
                 continue
-            view_i += 1
-            meta, arrays = split_batch(dataset, batch)
-            full = dict(meta)
-            full.update(arrays)
-            process_view(distiller, full, args.out_root, args)
-            if args.debug:
-                break
+            datapipe = dataset.build_pipeline(no_shuffle=True)
+            for batch in datapipe:
+                if view_i % shard_n != shard_i:
+                    view_i += 1
+                    continue
+                view_i += 1
+                meta, arrays = split_batch(dataset, batch)
+                full = dict(meta)
+                full.update(arrays)
+                process_view(distiller, full, args.out_root, args,
+                             writer=writer)
+                if args.debug:
+                    break
+    finally:
+        writer.close()
 
 
 if __name__ == '__main__':
