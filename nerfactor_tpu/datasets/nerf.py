@@ -55,8 +55,8 @@ class Dataset(BaseDataset):
                 self.meta2img[metadata_path] = img_path
             else:
                 logger.warn(
-                    "Skipping camera\n\t%s\nbecause its paired RGB image"
-                    "\n\t%s\ndoesn't exist", metadata_path, img_path)
+                    "Dropping camera %s: no rgba.png next to it (%s)",
+                    metadata_path, img_path)
         logger.info("Number of '%s' views: %d", self.mode,
                     len(metadata_paths))
         return metadata_paths
@@ -83,7 +83,7 @@ class Dataset(BaseDataset):
         else:
             rgba = ioutil.load_img(self.meta2img[metadata_path])
             assert rgba.ndim == 3 and rgba.shape[2] == 4, \
-                "Input image is not RGBA"
+                "expected an HxWx4 RGBA image, got shape %s" % (rgba.shape,)
             if imh != rgba.shape[0]:
                 rgba = imgops.resize(rgba, new_h=imh)
             rgb, alpha = rgba[:, :, :3], rgba[:, :, 3]

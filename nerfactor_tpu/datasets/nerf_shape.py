@@ -43,7 +43,7 @@ class Dataset(BaseDataset):
         nerf_root = self.config.get('data_nerf_root')
         mode_str = 'val' if self.mode == 'vali' else self.mode
         if self.debug:
-            logger.warn("Globbing a single data file for faster debugging")
+            logger.warn("Debug mode: restricting the glob to one view")
             metadata_dir = join(root, '%s_002' % mode_str)
         else:
             metadata_dir = join(root, '%s_???' % mode_str)
@@ -64,8 +64,8 @@ class Dataset(BaseDataset):
                 incomplete_paths.append(metadata_path)
         if incomplete_paths:
             logger.warn(
-                "Skipping\n\t%s\nbecause at least one of their paired "
-                "buffers doesn't exist", incomplete_paths)
+                "Dropping views with missing geometry buffers:\n\t%s",
+                incomplete_paths)
         logger.info("Number of '%s' views: %d", self.mode,
                     len(metadata_paths))
         return metadata_paths

@@ -157,12 +157,38 @@ class GeometryDistiller:
         self._lvis_super = jax.jit(lambda s, n: jax.lax.map(
             lambda t: self._lvis_block_fn(*t), (s, n)))
 
-    def _super_mapped(self, fn, inputs, block, k):
+    @staticmethod
+    def _eff_super_k(n, block, k):
+        """Supers per dispatch for an n-row input: the full ``k`` when
+        the input fills at least one super, else the smallest power of
+        two that covers it -- so a sparse view pays at most ~2x its own
+        size in padding instead of a whole super, while the number of
+        distinct compiled shapes stays bounded at log2(k)."""
+        need = max(1, -(-n // block))
+        if need >= k:
+            return k
+        k_eff = 1
+        while k_eff < need:
+            k_eff *= 2
+        return k_eff
+
+    def _super_mapped(self, fn, block_fn, inputs, block, k):
         """Runs jitted ``fn`` over (n, ...) host arrays as (k, block,
         ...) supers, converting each result one super BEHIND the
-        dispatches so transfers ride under compute. Returns (n, ...)
-        numpy outputs (tuple-structured if ``fn`` returns a tuple)."""
+        dispatches so transfers ride under compute. Inputs that fit a
+        single block skip the super machinery and reuse the already-
+        jitted ``block_fn``. Returns (n, ...) numpy outputs
+        (tuple-structured if ``fn`` returns a tuple)."""
         n = inputs[0].shape[0]
+        if n <= block:
+            pad = block - n
+            padded = [
+                np.concatenate([a, np.repeat(a[-1:], pad, 0)], 0)
+                if pad else a for a in inputs]
+            res = block_fn(*(jnp.asarray(a) for a in padded))
+            return jax.tree_util.tree_map(
+                lambda x: np.asarray(x)[:n], res)
+        k = self._eff_super_k(n, block, k)
         sup = block * k
         n_sup = max(1, -(-n // sup))
         pad = n_sup * sup - n
@@ -235,8 +261,8 @@ class GeometryDistiller:
     def compute_depth_and_normal(self, rayo, rayd):
         """Super-blocked host loop over fixed ray blocks."""
         return self._super_mapped(
-            self._depth_normal_super, [rayo, rayd],
-            self.ray_block, self._dn_super_k)
+            self._depth_normal_super, self._depth_normal_block,
+            [rayo, rayd], self.ray_block, self._dn_super_k)
 
     # ------ object -> light ------
 
@@ -274,7 +300,7 @@ class GeometryDistiller:
         if surf.shape[0] == 0:
             return np.zeros((0, self.n_lights), np.float32)
         lvis = self._super_mapped(
-            self._lvis_super, [surf, normal],
+            self._lvis_super, self._lvis_block, [surf, normal],
             self.lvis_block_pts, self._lvis_super_k)
         return np.clip(lvis, 0.0, 1.0)
 
@@ -298,8 +324,10 @@ class AsyncWriter:
                 return
             try:
                 fn()
-            except BaseException as e:  # re-raised on the main thread
-                self._err = e
+            except Exception as e:  # re-raised on the main thread
+                logger.error("Background buffer write failed: %r", e)
+                if self._err is None:  # keep the FIRST failure
+                    self._err = e
 
     def submit(self, fn):
         if self._err is not None:

@@ -63,9 +63,9 @@ def main():
         '--mlp_chunk', str(args.mlp_chunk)])
     dist = geo.GeometryDistiller(model, params, config, gargs)
     print('n_coarse=%d n_fine=%d ray_block=%d pair_block=%d '
-          'lvis_pts_per_block=%d' % (
+          'lvis_pts_per_block=%d lvis_super_k=%d dn_super_k=%d' % (
               dist.n_coarse, dist.n_fine, dist.ray_block, dist.pair_block,
-              max(1, dist.pair_block // dist.n_lights)))
+              dist.lvis_block_pts, dist._lvis_super_k, dist._dn_super_k))
 
     rng = np.random.default_rng(0)
     # Surface points on a unit sphere with outward normals (matches the
@@ -75,8 +75,13 @@ def main():
     surf = nrm * 1.0
 
     # ---- lvis march ----
+    # Warm with one full super of the SAME shape the timed run will
+    # dispatch (small warmups would compile only the single-block path)
+    lvis_k = dist._eff_super_k(
+        args.n_surf, dist.lvis_block_pts, dist._lvis_super_k)
+    warm_n = min(args.n_surf, dist.lvis_block_pts * lvis_k)
     t0 = time.time()
-    out = dist.compute_light_visibility(surf[:64], nrm[:64])
+    out = dist.compute_light_visibility(surf[:warm_n], nrm[:warm_n])
     print('lvis warmup/compile: %.1f s' % (time.time() - t0))
     if args.profile:
         import glob
@@ -136,17 +141,23 @@ def main():
         out = np.concatenate(
             [np.asarray(o)[:block - pad] for o, pad in outs], axis=0)
         dt = time.time() - t0
+        n_disp = n_blocks = int(np.ceil(args.n_surf / block))
     else:
         t0 = time.time()
         out = dist.compute_light_visibility(surf, nrm)
         dt = time.time() - t0
-    n_blocks = int(np.ceil(
-        args.n_surf / max(1, dist.pair_block // dist.n_lights)))
+        # The timed path dispatches SUPERS (lax.map over lvis_k blocks),
+        # so ms/dispatch must be derived from the super size, not the
+        # block size (round-4 advisor finding)
+        sup = dist.lvis_block_pts * lvis_k
+        n_disp = max(1, int(np.ceil(args.n_surf / sup)))
+        n_blocks = int(np.ceil(args.n_surf / dist.lvis_block_pts))
     print('lvis march: %.2f s per %d pts x %d dirs '
-          '(%d dispatches, %.1f ms each; %.3f ms/pt) checksum=%.4f'
-          % (dt, args.n_surf, dist.n_lights, n_blocks,
-             1e3 * dt / n_blocks, 1e3 * dt / args.n_surf,
-             float(np.mean(out))))
+          '(%d dispatches, %.1f ms each; %d blocks, %.1f ms/block; '
+          '%.3f ms/pt) checksum=%.4f'
+          % (dt, args.n_surf, dist.n_lights, n_disp,
+             1e3 * dt / n_disp, n_blocks, 1e3 * dt / n_blocks,
+             1e3 * dt / args.n_surf, float(np.mean(out))))
 
     if args.skip_dn:
         return
@@ -154,18 +165,23 @@ def main():
     rayo = np.tile(np.array([0, 0, 4], np.float32), (args.n_rays, 1))
     rayd = rng.normal(size=(args.n_rays, 3)).astype(np.float32)
     rayd[:, 2] -= 4.0
+    dn_k = dist._eff_super_k(args.n_rays, dist.ray_block,
+                             dist._dn_super_k)
+    warm_n = min(args.n_rays, dist.ray_block * dn_k)
     t0 = time.time()
-    dist.compute_depth_and_normal(rayo[:dist.ray_block],
-                                  rayd[:dist.ray_block])
+    dist.compute_depth_and_normal(rayo[:warm_n], rayd[:warm_n])
     print('depth/normal warmup/compile: %.1f s' % (time.time() - t0))
     t0 = time.time()
     occu, depth, normal = dist.compute_depth_and_normal(rayo, rayd)
     dt = time.time() - t0
+    sup = dist.ray_block * dn_k
+    n_disp = max(1, int(np.ceil(args.n_rays / sup)))
     n_blocks = int(np.ceil(args.n_rays / dist.ray_block))
     print('depth/normal: %.2f s per %d rays (%d dispatches, %.1f ms '
-          'each; %.4f ms/ray) checksum=%.4f'
-          % (dt, args.n_rays, n_blocks, 1e3 * dt / n_blocks,
-             1e3 * dt / args.n_rays, float(np.mean(depth))))
+          'each; %d blocks, %.1f ms/block; %.4f ms/ray) checksum=%.4f'
+          % (dt, args.n_rays, n_disp, 1e3 * dt / n_disp, n_blocks,
+             1e3 * dt / n_blocks, 1e3 * dt / args.n_rays,
+             float(np.mean(depth))))
 
 
 if __name__ == '__main__':
