@@ -99,6 +99,14 @@ def main():
         'unit': 'rays/sec/chip',
         'vs_baseline': round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
     }))
+    try:  # per-stage round-over-round record (PERF.jsonl)
+        from tools import perf_ledger
+        perf_ledger.append(
+            'joint_step', rays_per_sec, 'rays/sec/chip',
+            config='1024 rays x 512 lights, 128x4 MLPs, '
+                   'scan-%d dispatch' % scan_steps)
+    except Exception:
+        pass
 
 
 if __name__ == '__main__':

@@ -69,23 +69,56 @@ def test_distillation(tiny_nerf, tmp_path):
 
 
 def test_view_sharding(tiny_nerf, tmp_path):
-    """--view_shard i/n partitions the views disjointly and exhaustively
-    (multi-host fan-out of the embarrassingly parallel distillation)."""
+    """--view_shard i/n run as TWO CONCURRENT PROCESSES (the real
+    multi-host fan-out of the embarrassingly parallel distillation,
+    reference nerfactor/README.md:122-125 ships it sequential):
+    the shards partition the views disjointly and exhaustively, and
+    their buffers equal an unsharded run's bit for bit."""
     import os
+    import subprocess
+    import sys
     data_root, trained = tiny_nerf
     from nerfactor_tpu import geometry_from_nerf
-    shards = []
-    for i in range(2):
-        out_root = str(tmp_path / ('surf%d' % i))
-        geometry_from_nerf.main([
-            '--trained_nerf', trained, '--out_root', out_root,
-            '--light_h', '2', '--lvis_far', '2', '--mlp_chunk', '16384',
-            '--occu_thres', '0.5', '--view_shard', '%d/2' % i])
-        shards.append({d for d in os.listdir(out_root)
-                       if os.path.isdir(join(out_root, d))})
-    assert shards[0] & shards[1] == set(), "Shards overlap"
-    # 6 train + 1 vali + 1 test views in total
-    assert len(shards[0] | shards[1]) == 8, shards
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    common = ['--trained_nerf', trained, '--light_h', '2',
+              '--lvis_far', '2', '--mlp_chunk', '16384',
+              '--occu_thres', '0.5']
+    shard_out = str(tmp_path / 'surf_sharded')  # both write here
+    # -c wrapper: the axon plugin pins jax_platforms via jax.config,
+    # which beats the inherited JAX_PLATFORMS env var
+    launcher = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+                "jax.config.update('jax_compilation_cache_dir', "
+                "'/tmp/nerfactor_test_jax_cache'); "
+                "jax.config.update("
+                "'jax_persistent_cache_min_compile_time_secs', 1); "
+                "from nerfactor_tpu.geometry_from_nerf import main; "
+                "main()")
+    procs = [subprocess.Popen(
+        [sys.executable, '-c', launcher,
+         '--out_root', shard_out, '--view_shard', '%d/2' % i] + common,
+        cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)]
+    outs = [p.communicate(timeout=600)[0].decode(errors='replace')
+            for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, 'shard worker exited %d:\n%s' % (
+            p.returncode, out)
+    # 6 train + 1 vali + 1 test views, all present exactly once
+    views = sorted(d for d in os.listdir(shard_out)
+                   if os.path.isdir(join(shard_out, d)))
+    assert len(views) == 8, views
+    # Unsharded reference run: every buffer must match bit for bit
+    # (the march is deterministic)
+    ref_out = str(tmp_path / 'surf_ref')
+    geometry_from_nerf.main(
+        ['--out_root', ref_out] + common)
+    for view in views:
+        for buf in ('xyz.npy', 'normal.npy', 'lvis.npy'):
+            a = ioutil.load_np(join(shard_out, view, buf))
+            b = ioutil.load_np(join(ref_out, view, buf))
+            np.testing.assert_array_equal(
+                a, b, err_msg='%s/%s differs from unsharded' % (
+                    view, buf))
 
 
 def test_bf16_march_close_to_f32(tiny_nerf, tmp_path):

@@ -158,6 +158,13 @@ def main():
           % (dt, args.n_surf, dist.n_lights, n_disp,
              1e3 * dt / n_disp, n_blocks, 1e3 * dt / n_blocks,
              1e3 * dt / args.n_surf, float(np.mean(out))))
+    from tools import perf_ledger
+    perf_ledger.append(
+        'lvis_march', dt * 4096 / args.n_surf, 's/4096pts_x_512dirs',
+        config='flagship 512px shapes: 128-wide, 96/128 samples, '
+               'mlp_chunk %d%s' % (args.mlp_chunk,
+                                   ', pipelined' if args.pipelined
+                                   else ', super-dispatch'))
 
     if args.skip_dn:
         return
@@ -182,6 +189,11 @@ def main():
           % (dt, args.n_rays, n_disp, 1e3 * dt / n_disp, n_blocks,
              1e3 * dt / n_blocks, 1e3 * dt / args.n_rays,
              float(np.mean(depth))))
+    from tools import perf_ledger
+    perf_ledger.append(
+        'depth_normal', dt * 16384 / args.n_rays, 's/16384rays',
+        config='flagship 512px shapes: 128-wide, 96/128 samples, '
+               'mlp_chunk %d' % args.mlp_chunk)
 
 
 if __name__ == '__main__':

@@ -16,6 +16,7 @@ import argparse
 import json
 import os
 import sys
+import time
 from os.path import join
 
 import numpy as np
@@ -41,6 +42,9 @@ def parse_args(argv=None):
                         "feed the distilled (noisy) buffers downstream "
                         "instead of the analytic ones")
     p.add_argument('--epochs_nerf', type=int, default=600)
+    p.add_argument('--distill_mlp_chunk', type=int, default=262144,
+                   help="geometry_from_nerf --mlp_chunk (the published-"
+                        "schedule ledger runs use 1048576)")
     p.add_argument('--extra_override', default='',
                    help="extra config overrides for the shape + joint "
                         "stages (e.g. bf16_big_chains=True)")
@@ -103,11 +107,24 @@ def main(argv=None):
            % args.mlp_width)
 
     # ------ Optional stage 0: NeRF + geometry distillation
+    stage_walls = {}  # stage -> wall-clock seconds
+
+    def staged(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.time()
+
+            def __exit__(self, *exc):
+                stage_walls[name] = time.time() - self.t0
+        return _T()
+
     surf_root = join(root, 'surf')
     if args.from_nerf:
         from nerfactor_tpu import geometry_from_nerf
         nerf_out = join(out, 'nerf')
-        trainvali.main(['--config', 'nerf.ini', '--config_override',
+        with staged('nerf'):
+            trainvali.main([
+                '--config', 'nerf.ini', '--config_override',
                         ','.join([
                             'data_root=%s' % root, 'outroot=%s' % nerf_out,
                             'imh=%d' % args.imh,
@@ -121,16 +138,19 @@ def main(argv=None):
                         + ([args.extra_override]
                            if args.extra_override else []))])
         surf_root = join(out, 'surf_from_nerf')
-        geometry_from_nerf.main([
-            '--trained_nerf', join(nerf_out, 'lr5e-4'),
-            '--out_root', surf_root,
-            '--imh', str(args.imh), '--light_h', str(args.light_h),
-            '--lvis_far', '2.5', '--occu_thres', '0.5',
-            '--mlp_chunk', '262144'])
+        with staged('distill'):
+            geometry_from_nerf.main([
+                '--trained_nerf', join(nerf_out, 'lr5e-4'),
+                '--out_root', surf_root,
+                '--imh', str(args.imh), '--light_h', str(args.light_h),
+                '--lvis_far', '2.5', '--occu_thres', '0.5',
+                '--mlp_chunk', str(args.distill_mlp_chunk)])
 
     # ------ Stage 1: BRDF prior
     brdf_out = join(out, 'merl')
-    trainvali.main(['--config', 'brdf.ini', '--config_override', ','.join([
+    with staged('brdf'):
+        trainvali.main([
+            '--config', 'brdf.ini', '--config_override', ','.join([
         'data_root=%s' % brdf_data, 'outroot=%s' % brdf_out,
         'epochs=%d' % args.epochs_brdf,
         'ckpt_period=%d' % args.epochs_brdf,
@@ -141,7 +161,9 @@ def main(argv=None):
 
     # ------ Stage 2: shape distillation
     shape_out = join(out, 'shape')
-    trainvali.main(['--config', 'shape.ini', '--config_override',
+    with staged('shape'):
+        trainvali.main([
+            '--config', 'shape.ini', '--config_override',
                     ','.join([
                         'data_root=%s' % root,
                         'data_nerf_root=%s' % surf_root,
@@ -159,7 +181,9 @@ def main(argv=None):
 
     # ------ Stage 3: joint optimization
     joint_out = join(out, 'nerfactor')
-    trainvali.main(['--config', 'nerfactor.ini', '--config_override',
+    with staged('joint'):
+        trainvali.main([
+            '--config', 'nerfactor.ini', '--config_override',
                     ','.join([
                         'data_root=%s' % root,
                         'data_nerf_root=%s' % surf_root,
@@ -188,9 +212,25 @@ def main(argv=None):
                 meta = json.load(h)
             if 'psnr' in meta:
                 psnrs.append((meta['id'], meta['psnr']))
+    walls = {k: round(v / 60.0, 2) for k, v in stage_walls.items()}
+    total_min = round(sum(stage_walls.values()) / 60.0, 2)
     print(json.dumps({'per_view_psnr': psnrs,
                       'mean_psnr': float(np.mean([p for _, p in psnrs]))
-                      if psnrs else None}))
+                      if psnrs else None,
+                      'stage_walls_min': walls,
+                      'total_min': total_min}))
+    from tools import perf_ledger
+    cfg = ('imh=%d light_h=%d mlp_width=%d n_rays=%d%s epochs=%s' % (
+        args.imh, args.light_h, args.mlp_width, args.n_rays,
+        ' from_nerf(nerf=%d)' % args.epochs_nerf if args.from_nerf
+        else '',
+        '%d/%d/%d' % (args.epochs_brdf, args.epochs_shape,
+                      args.epochs_joint)))
+    perf_ledger.append('pipeline_e2e', total_min, 'min', config=cfg,
+                       stage_walls_min=walls)
+    if 'distill' in stage_walls:
+        perf_ledger.append('distill_stage', walls['distill'], 'min',
+                           config=cfg)
 
 
 if __name__ == '__main__':
