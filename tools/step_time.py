@@ -106,14 +106,26 @@ def main():
     dt = time.perf_counter() - t0
 
     eff_steps = args.steps * max(1, args.scan)
+    rays_per_sec = args.rays * eff_steps / dt
     print(json.dumps({
         'override': args.override,
         'scan': args.scan,
         'ms_per_step': round(1e3 * dt / eff_steps, 2),
-        'rays_per_sec': round(args.rays * eff_steps / dt, 1),
+        'rays_per_sec': round(rays_per_sec, 1),
         'warmup_s': round(t_c1 - t_c0, 1),
         'loss': loss_w if not (loss == loss) else loss,
     }))
+    if not args.override:
+        # Default-config runs feed the per-stage ledger (experiments
+        # with overrides stay out of the round-over-round record)
+        from tools import perf_ledger
+        cfg = ('nerf.ini scale: %d rays, 64+128 samples, 256x8 MLPs'
+               % args.rays) if args.model == 'nerf' else \
+              ('%d rays x %d lights, 128x4 MLPs' % (
+                  args.rays, 2 * args.light_h ** 2))
+        perf_ledger.append('%s_step' % args.model, rays_per_sec,
+                           'rays/sec/chip',
+                           config=cfg + ', scan-%d' % args.scan)
 
 
 if __name__ == '__main__':
