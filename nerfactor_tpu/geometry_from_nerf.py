@@ -350,6 +350,7 @@ def average_supersamples(map_ss, sps):
 
 
 def process_view(distiller, batch, out_root, args, writer=None):
+    import time as _time
     sps = int(np.sqrt(args.spp))
     id_ = batch['id']
     hw = tuple(int(x) for x in batch['hw'])
@@ -366,8 +367,10 @@ def process_view(distiller, batch, out_root, args, writer=None):
         logger.info("Skipping %s since it's done already", id_)
         return
 
+    t0 = _time.perf_counter()
     occu, exp_depth, exp_normal = distiller.compute_depth_and_normal(
         rayo, rayd)
+    t_dn = _time.perf_counter() - t0
     occu = np.where(occu < args.occu_thres, 0.0, occu)
 
     hw_ss = (hw[0] * sps, hw[1] * sps)
@@ -393,7 +396,14 @@ def process_view(distiller, batch, out_root, args, writer=None):
     surf_hit = surf.reshape(hw_ss + (3,))
     surf_hit = average_supersamples(surf_hit, sps).reshape(-1, 3)[hit]
     normal_hit = normal_map.reshape(-1, 3)[hit]
+    t1 = _time.perf_counter()
     lvis_hit = distiller.compute_light_visibility(surf_hit, normal_hit)
+    t_lvis = _time.perf_counter() - t1
+    logger.info(
+        "%s: depth/normal %.1f s (%d rays), lvis %.1f s (%d hit pts x "
+        "%d dirs), host glue %.1f s", id_, t_dn, rayo.shape[0], t_lvis,
+        int(surf_hit.shape[0]), distiller.n_lights,
+        t1 - t0 - t_dn)
     n_lights = lvis_hit.shape[1]
     lvis = np.zeros(hw + (n_lights,), dtype=np.float32)
     lvis[hit.reshape(hw)] = lvis_hit
@@ -438,6 +448,7 @@ def main(argv=None):
 
     Dataset = datasets.get_dataset_class(config.get('dataset'))
     from nerfactor_tpu.trainvali import split_batch
+    import time as _time
     view_i = 0
     writer = AsyncWriter()
     try:
@@ -449,16 +460,23 @@ def main(argv=None):
                 logger.warn("No '%s' views; skipping", mode)
                 continue
             datapipe = dataset.build_pipeline(no_shuffle=True)
+            t_prev = _time.perf_counter()
             for batch in datapipe:
                 if view_i % shard_n != shard_i:
                     view_i += 1
                     continue
                 view_i += 1
+                t_loaded = _time.perf_counter()
                 meta, arrays = split_batch(dataset, batch)
                 full = dict(meta)
                 full.update(arrays)
                 process_view(distiller, full, args.out_root, args,
                              writer=writer)
+                t_done = _time.perf_counter()
+                logger.info(
+                    "%s: view wall %.1f s (data load %.1f s)",
+                    full['id'], t_done - t_prev, t_loaded - t_prev)
+                t_prev = t_done
                 if args.debug:
                     break
     finally:

@@ -1677,7 +1677,6 @@ def _pallas_forward_trig_t(plan, x, params, with_stash=False):
         out_specs=out_specs if with_stash else out_specs[0],
         out_shape=out_shapes if with_stash else out_shapes[0],
         interpret=INTERPRET,
-        **_grid_compiler_params(True),
     )(xt, *ap, *flat)
     if with_stash:
         return outs[0][:, :n].T, outs[1]  # stash keeps col padding
@@ -1725,7 +1724,6 @@ def _pallas_backward_trig_t(plan, x, params, dy, trig, needs_dx,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=INTERPRET,
-        **_grid_compiler_params(not needs_dw),
     )(xt, dyt, *extras, *flat)
     if not isinstance(outs, (list, tuple)):
         outs = [outs]
@@ -1748,20 +1746,15 @@ def _pallas_backward_trig_t(plan, x, params, dy, trig, needs_dx,
 # kept for A/B measurement.
 TRANSPOSED_BOUNDARY = True
 
-# Grid dimension-semantics A/B knob (round 5, probing the residual
-# ~20% above the pass-cost roofline): 'parallel' declares the lane-
-# block grid steps independent so Mosaic may overlap/reorder them.
-# Correct for the forward (each step writes its own output columns)
-# and for dW-free backwards; the accumulating backward must stay
-# sequential. Export NERFACTOR_GRID_SEMANTICS=parallel to enable.
-_GRID_SEMANTICS = os.environ.get('NERFACTOR_GRID_SEMANTICS', '')
-
-
-def _grid_compiler_params(independent_steps):
-    if _GRID_SEMANTICS == 'parallel' and independent_steps:
-        return dict(compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('parallel',)))
-    return {}
+# Grid dimension-semantics: measured NEUTRAL and removed (round 5).
+# Declaring the lane-block grid steps 'parallel' (correct for the
+# forward and dW-free backwards) changed nothing end-to-end — joint
+# step 7.17/7.19 -> 7.21/7.25 ms, NeRF step 8.41 -> 8.45 ms, losses
+# bit-identical — and tools/mosaic_dot_probe shows why nothing was
+# there to recover: serial dot chains already sustain the same
+# per-pass rate as fully independent dots (0.177 vs 0.178 ms/pass at
+# 1M rows), i.e. Mosaic has no dependency bubble between consecutive
+# MXU passes at these shapes.
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))

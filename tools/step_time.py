@@ -115,9 +115,12 @@ def main():
         'warmup_s': round(t_c1 - t_c0, 1),
         'loss': loss_w if not (loss == loss) else loss,
     }))
-    if not args.override:
+    import os
+    env_knobs = [k for k in os.environ if k.startswith('NERFACTOR_')]
+    if not args.override and not env_knobs:
         # Default-config runs feed the per-stage ledger (experiments
-        # with overrides stay out of the round-over-round record)
+        # with overrides or NERFACTOR_* env knobs stay out of the
+        # round-over-round record)
         from tools import perf_ledger
         cfg = ('nerf.ini scale: %d rays, 64+128 samples, 256x8 MLPs'
                % args.rays) if args.model == 'nerf' else \
