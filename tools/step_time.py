@@ -126,8 +126,9 @@ def main():
                % args.rays) if args.model == 'nerf' else \
               ('%d rays x %d lights, 128x4 MLPs' % (
                   args.rays, 2 * args.light_h ** 2))
-        perf_ledger.append('%s_step' % args.model, rays_per_sec,
-                           'rays/sec/chip',
+        stage = ('joint_step' if args.model == 'nerfactor'
+                 else '%s_step' % args.model)  # match bench.py's name
+        perf_ledger.append(stage, rays_per_sec, 'rays/sec/chip',
                            config=cfg + ', scan-%d' % args.scan)
 
 
