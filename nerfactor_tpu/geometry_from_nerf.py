@@ -215,47 +215,72 @@ class GeometryDistiller:
 
     # ------ camera -> object ------
 
-    def _sigma_with_bounds(self, pts_flat, use_fine, compute_dtype=None):
+    def _sigma_with_bounds(self, pts_flat, use_fine, compute_dtype=None,
+                           input_t=False):
+        """``input_t=True``: pts_flat is (3, N) in the fused kernel's
+        transposed boundary layout (built by broadcasting, never by
+        transposing -- the march profile showed XLA lowers the 24 MB
+        (N, 3) -> (3, N) transpose as a per-component loop costing
+        ~1.4 ms of a 8.9 ms block; QUALITY.md round 5)."""
         sigma = jax.nn.relu(
             self.model.eval_sigma(self.params, pts_flat, use_fine=use_fine,
-                                  compute_dtype=compute_dtype))
+                                  compute_dtype=compute_dtype,
+                                  input_t=input_t))
         if self.bbox is not None:
-            inb = _in_bounds_mask(pts_flat, jnp.asarray(self.bbox))
+            bbox = jnp.asarray(self.bbox)
+            if input_t:
+                inb = ((pts_flat[0] >= bbox[0]) & (pts_flat[0] <= bbox[1])
+                       & (pts_flat[1] >= bbox[2])
+                       & (pts_flat[1] <= bbox[3])
+                       & (pts_flat[2] >= bbox[4])
+                       & (pts_flat[2] <= bbox[5]))
+            else:
+                inb = _in_bounds_mask(pts_flat, bbox)
             sigma = jnp.where(inb[:, None], sigma, 0.0)
         return sigma
 
     def _depth_normal_block_fn(self, rayo, rayd):
-        """(B, 3) x2 -> occu (B,), exp_depth (B,), exp_normal (B, 3)."""
+        """(B, 3) x2 -> occu (B,), exp_depth (B,), exp_normal (B, 3).
+
+        All points tensors are BUILT in the kernel's (3, B*S) boundary
+        layout (pure broadcasts over transposed (3, B) ray tensors) --
+        never produced row-major and transposed after."""
         rayd = rayd / jnp.maximum(
             jnp.linalg.norm(rayd, axis=1, keepdims=True), 1e-12)
         n = rayo.shape[0]
+        rayo_t = rayo.T  # (3, B): tiny -- the per-RAY transpose is free
+        rayd_t = rayd.T
         z = sampling.gen_z(self.near, self.far, self.n_coarse, n,
                            lin_in_disp=self.lin_in_disp)
-        pts = rayo[:, None, :] + rayd[:, None, :] * z[:, :, None]
+        pts_t = (rayo_t[:, :, None]
+                 + rayd_t[:, :, None] * z[None, :, :]).reshape(3, -1)
         sigma = self._sigma_with_bounds(
-            pts.reshape(-1, 3), use_fine=False).reshape(n, self.n_coarse)
+            pts_t, use_fine=False,
+            input_t=True).reshape(n, self.n_coarse)
         weights = sampling.accumulate_sigma(sigma, z, rayd)
         z = sampling.gen_z_fine(z, weights, self.n_fine)
-        pts = rayo[:, None, :] + rayd[:, None, :] * z[:, :, None]
-        pts_flat = pts.reshape(-1, 3)
+        pts_t = (rayo_t[:, :, None]
+                 + rayd_t[:, :, None] * z[None, :, :]).reshape(3, -1)
 
         # Fine sigma + its spatial gradient in ONE reverse-mode pass:
         # sigma at a point depends only on that point, so grad of the sum
-        # gives per-point Jacobian rows.
-        def sigma_sum(p):
-            s = self._sigma_with_bounds(p, use_fine=True)
+        # gives per-point Jacobian rows (here: columns).
+        def sigma_sum(p_t):
+            s = self._sigma_with_bounds(p_t, use_fine=True, input_t=True)
             return jnp.sum(s), s
 
-        grads, sigma_flat = jax.grad(sigma_sum, has_aux=True)(pts_flat)
-        normal_flat = -grads / jnp.maximum(
-            jnp.linalg.norm(grads, axis=1, keepdims=True), 1e-12)
+        grads_t, sigma_flat = jax.grad(sigma_sum, has_aux=True)(pts_t)
+        normal_t = -grads_t / jnp.maximum(
+            jnp.linalg.norm(grads_t, axis=0, keepdims=True), 1e-12)
         n_total = z.shape[1]
         sigma = sigma_flat.reshape(n, n_total)
-        normal = normal_flat.reshape(n, n_total, 3)
+        normal = normal_t.reshape(3, n, n_total)
         weights = sampling.accumulate_sigma(sigma, z, rayd)
         occu = jnp.sum(weights, axis=-1)
         exp_depth = jnp.sum(weights * z, axis=-1)
-        exp_normal = jnp.sum(weights[:, :, None] * normal, axis=-2)
+        # (3, B, S) x (B, S) -> (B, 3): a reduction over samples, so no
+        # big transposed intermediate materializes
+        exp_normal = jnp.einsum('cns,ns->nc', normal, weights)
         return occu, exp_depth, exp_normal
 
     def compute_depth_and_normal(self, rayo, rayd):
@@ -268,30 +293,42 @@ class GeometryDistiller:
 
     def _lvis_block_fn(self, surf, normal):
         """(S, 3) x2 -> (S, L) light visibility; marches ALL light pixels
-        for the block's surface points as one dense, masked batch."""
+        for the block's surface points as one dense, masked batch.
+
+        The (surface x light) ray tensors and every points tensor are
+        BUILT component-major -- (3, S, L) / (3, S*L*samples) -- so the
+        fused sigma kernel's transposed boundary is fed directly with
+        pure broadcasts (no (N, 3) -> (3, N) transpose of the ~24 MB
+        points operand; QUALITY.md round-5 march profile)."""
         s = surf.shape[0]
-        lxyz = self.lxyz  # (L, 3)
-        surf2l = lxyz[None, :, :] - surf[:, None, :]  # (S, L, 3)
-        surf2l = surf2l / jnp.maximum(
-            jnp.linalg.norm(surf2l, axis=2, keepdims=True), 1e-12)
-        front_lit = jnp.einsum('slk,sk->sl', surf2l, normal) > 0
-        o = jnp.repeat(surf, self.n_lights, axis=0)  # (S*L, 3)
-        d = surf2l.reshape(-1, 3)
+        surf_t = surf.T  # (3, S): per-POINT transposes are tiny
+        lxyz_t = self.lxyz.T  # (3, L)
+        surf2l_t = lxyz_t[:, None, :] - surf_t[:, :, None]  # (3, S, L)
+        surf2l_t = surf2l_t / jnp.maximum(
+            jnp.linalg.norm(surf2l_t, axis=0, keepdims=True), 1e-12)
+        front_lit = jnp.einsum('csl,sc->sl', surf2l_t, normal) > 0
+        # o repeats each surface point over L; d flattens (3, S, L)
+        o_t = jnp.broadcast_to(
+            surf_t[:, :, None], (3, s, self.n_lights)).reshape(3, -1)
+        d_t = surf2l_t.reshape(3, -1)  # (3, S*L)
         n_pairs = s * self.n_lights
+        d_rows = d_t.T  # (S*L, 3) for accumulate_sigma's norm (unit)
         march_dt = jnp.bfloat16 if self.args.bf16_march else None
         z = sampling.gen_z(0.1, self.args.lvis_far, self.n_coarse, n_pairs,
                            lin_in_disp=self.lin_in_disp)
-        pts = o[:, None, :] + d[:, None, :] * z[:, :, None]
+        pts_t = (o_t[:, :, None]
+                 + d_t[:, :, None] * z[None, :, :]).reshape(3, -1)
         sigma = self._sigma_with_bounds(
-            pts.reshape(-1, 3), use_fine=False,
-            compute_dtype=march_dt).reshape(n_pairs, self.n_coarse)
-        weights = sampling.accumulate_sigma(sigma, z, d)
+            pts_t, use_fine=False, compute_dtype=march_dt,
+            input_t=True).reshape(n_pairs, self.n_coarse)
+        weights = sampling.accumulate_sigma(sigma, z, d_rows)
         z = sampling.gen_z_fine(z, weights, self.n_fine)
-        pts = o[:, None, :] + d[:, None, :] * z[:, :, None]
+        pts_t = (o_t[:, :, None]
+                 + d_t[:, :, None] * z[None, :, :]).reshape(3, -1)
         sigma = self._sigma_with_bounds(
-            pts.reshape(-1, 3), use_fine=True,
-            compute_dtype=march_dt).reshape(n_pairs, z.shape[1])
-        weights = sampling.accumulate_sigma(sigma, z, d)
+            pts_t, use_fine=True, compute_dtype=march_dt,
+            input_t=True).reshape(n_pairs, z.shape[1])
+        weights = sampling.accumulate_sigma(sigma, z, d_rows)
         occu = jnp.sum(weights, axis=-1).reshape(s, self.n_lights)
         lvis = 1.0 - occu
         return jnp.where(front_lit, lvis, 0.0)

@@ -171,9 +171,12 @@ class Model(BaseModel):
         return rgbs.reshape(shape + (4,))
 
     def eval_sigma(self, params, pts_flat, use_fine=False,
-                   compute_dtype=None):
+                   compute_dtype=None, input_t=False):
         """sigma (pre-ReLU) at flat points -- used by geometry
-        distillation. (N, 3) -> (N, 1).
+        distillation. (N, 3) -> (N, 1); with ``input_t=True``,
+        pts_flat arrives as (3, N) in the fused kernel's transposed
+        boundary layout (the march builds its points tensor that way,
+        avoiding an XLA-side 24 MB transpose per block).
 
         ``compute_dtype`` is only passed by the (eval-only) visibility
         march; the depth/normal pass differentiates through this and
@@ -191,8 +194,11 @@ class Model(BaseModel):
                 params[pref + 'enc'], params[pref + head])
             out = pallas_mlp.apply_chain(
                 self.sigma_plan, pts_flat, p,
-                compute_dtype=compute_dtype, needs_dw=False)
+                compute_dtype=compute_dtype, needs_dw=False,
+                input_t=input_t)
             return out[:, -1:]
+        if input_t:
+            pts_flat = pts_flat.T
         feat = self.specs['enc'].apply(
             params[pref + 'enc'], self._embed_xyz(pts_flat),
             compute_dtype=compute_dtype)

@@ -1647,14 +1647,22 @@ def _trig_ladder(plan, x, with_cos=False):
     return trig, cosxf
 
 
-def _pallas_forward_trig_t(plan, x, params, with_stash=False):
-    n = x.shape[0]
+def _pallas_forward_trig_t(plan, x, params, with_stash=False,
+                           input_t=False):
+    # input_t: x arrives ALREADY in the kernel's (raw_dim, N) boundary
+    # layout, so no XLA-side transpose of the operand is emitted. The
+    # distillation march uses this: building the (3, N*S) points
+    # tensor transposed is a pure broadcast, while transposing it
+    # after the fact cost ~1.4 ms per 9216x224-pair block (XLA lowers
+    # the 24 MB minor-dim-3 transpose as a per-component loop of
+    # dynamic-update-slices; march profile, QUALITY.md round 5).
+    n = x.shape[1] if input_t else x.shape[0]
     t = trig_dim(plan)
     # Ladder mode: the backward recomputes trig in-kernel, so no stash
     # is written (or returned) at all
     with_stash = with_stash and t > 0 and not TRIG_LADDER
     block = _clamp_block(_pick_block_cols_t(plan), n)
-    xt = _pad_cols(x.T, block)
+    xt = _pad_cols(x if input_t else x.T, block)
     grid = xt.shape[1] // block
     use_ladder = TRIG_LADDER
     ap = list(_trig_mats_t(plan)) if (t and not use_ladder) else []
@@ -1684,11 +1692,11 @@ def _pallas_forward_trig_t(plan, x, params, with_stash=False):
 
 
 def _pallas_backward_trig_t(plan, x, params, dy, trig, needs_dx,
-                            needs_dw=True):
-    n = x.shape[0]
+                            needs_dw=True, input_t=False):
+    n = x.shape[1] if input_t else x.shape[0]
     t = trig_dim(plan)
     block = _clamp_block(_pick_block_cols_t(plan, backward=True), n)
-    xt = _pad_cols(x.T, block)
+    xt = _pad_cols(x if input_t else x.T, block)
     dyt = _pad_cols(dy.T, block)
     grid = xt.shape[1] // block
     use_ladder = TRIG_LADDER
@@ -1728,7 +1736,7 @@ def _pallas_backward_trig_t(plan, x, params, dy, trig, needs_dx,
     if not isinstance(outs, (list, tuple)):
         outs = [outs]
     if needs_dx:
-        dx = outs[0][:, :n].T
+        dx = outs[0][:, :n] if input_t else outs[0][:, :n].T
         dws = outs[1:]
     else:
         dx = None
@@ -1757,32 +1765,39 @@ TRANSPOSED_BOUNDARY = True
 # MXU passes at these shapes.
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
-def _fused_chain_impl(plan, needs_dx, needs_dw, transposed, kdtype, x,
-                      params):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def _fused_chain_impl(plan, needs_dx, needs_dw, transposed, kdtype,
+                      input_t, x, params):
     with _kernel_dtype_scope(kdtype):
         if _last_skip(plan):
-            return _pallas_forward(plan, x, params)
+            return _pallas_forward(plan, x.T if input_t else x, params)
         if transposed:
-            y, _ = _pallas_forward_trig_t(plan, x, params)
+            y, _ = _pallas_forward_trig_t(plan, x, params,
+                                          input_t=input_t)
         else:
-            y, _ = _pallas_forward_trig(plan, x, params)
+            y, _ = _pallas_forward_trig(plan, x.T if input_t else x,
+                                        params)
         return y
 
 
 def _fused_chain_impl_fwd(plan, needs_dx, needs_dw, transposed, kdtype,
-                          x, params):
+                          input_t, x, params):
     with _kernel_dtype_scope(kdtype):
         if _last_skip(plan):
-            return _pallas_forward(plan, x, params), (x, params, None)
-        fwd = _pallas_forward_trig_t if transposed \
-            else _pallas_forward_trig
-        y, trig = fwd(plan, x, params, with_stash=True)
+            xr = x.T if input_t else x
+            return _pallas_forward(plan, xr, params), (x, params, None)
+        if transposed:
+            y, trig = _pallas_forward_trig_t(plan, x, params,
+                                             with_stash=True,
+                                             input_t=input_t)
+        else:
+            y, trig = _pallas_forward_trig(plan, x.T if input_t else x,
+                                           params, with_stash=True)
         return y, (x, params, trig)
 
 
 def _fused_chain_impl_bwd(plan, needs_dx, needs_dw, transposed, kdtype,
-                          res, dy):
+                          input_t, res, dy):
     x, params, trig = res
     if not needs_dx and not needs_dw:
         # Fully frozen chain feeding no trainable inputs (e.g. the
@@ -1792,16 +1807,24 @@ def _fused_chain_impl_bwd(plan, needs_dx, needs_dw, transposed, kdtype,
             (jnp.zeros_like(w), jnp.zeros_like(b)) for w, b in params]
     with _kernel_dtype_scope(kdtype):
         if _last_skip(plan):
-            dx, dparams = _pallas_backward(plan, x, params, dy)
+            dx, dparams = _pallas_backward(plan, x.T if input_t else x,
+                                           params, dy)
+            if input_t and dx is not None:
+                dx = dx.T
+            if dx is None:
+                dx = jnp.zeros_like(x)
             return dx, dparams
         if transposed:
             dx, dparams = _pallas_backward_trig_t(
-                plan, x, params, dy, trig, needs_dx, needs_dw=needs_dw)
+                plan, x, params, dy, trig, needs_dx, needs_dw=needs_dw,
+                input_t=input_t)
         else:
             # Row-major legacy path has no needs_dw fast path; real dW
             # gradients are a correct superset of the declared need
             dx, dparams = _pallas_backward_trig(
-                plan, x, params, dy, trig, needs_dx)
+                plan, x.T if input_t else x, params, dy, trig, needs_dx)
+            if input_t and dx is not None:
+                dx = dx.T
     if dx is None:
         # Caller declared x gradient-free (needs_dx=False)
         dx = jnp.zeros_like(x)
@@ -1812,20 +1835,28 @@ _fused_chain_impl.defvjp(_fused_chain_impl_fwd, _fused_chain_impl_bwd)
 
 
 def _fused_chain(plan, x, params, needs_dx=True, needs_dw=True,
-                 transposed=None, kernel_dtype='default'):
+                 transposed=None, kernel_dtype='default', input_t=False):
     if transposed is None:
         transposed = TRANSPOSED_BOUNDARY
     return _fused_chain_impl(plan, needs_dx, needs_dw,
-                             bool(transposed), kernel_dtype, x, params)
+                             bool(transposed), kernel_dtype,
+                             bool(input_t), x, params)
 
 
 def apply_chain(plan, x, params, force_reference=False,
-                compute_dtype=None, needs_dx=True, needs_dw=True):
+                compute_dtype=None, needs_dx=True, needs_dw=True,
+                input_t=False):
     """Runs the fused embed->MLP->head chain.
 
     Args:
       plan: a :func:`make_plan` result (static).
-      x: (N, raw_dim) raw inputs (pre-embedding).
+      x: (N, raw_dim) raw inputs (pre-embedding) — or, with
+        ``input_t=True``, (raw_dim, N) inputs ALREADY in the kernel's
+        transposed boundary layout, so callers that can build their
+        operand column-major (the distillation march's points tensor)
+        skip the XLA-side transpose entirely. The output stays
+        (N, out_dim) either way; with gradients, dx comes back in the
+        input's layout.
       params: list of (w, b) tuples over ALL layers (hidden + head).
       compute_dtype: per-call precision, honored on BOTH paths
         (round 3): on the XLA reference path it is the activation
@@ -1849,11 +1880,12 @@ def apply_chain(plan, x, params, force_reference=False,
     params = [(w, b) for w, b in params]
     if force_reference or (jax.default_backend() != 'tpu'
                            and not INTERPRET):
-        return chain_reference(plan, x, params,
+        return chain_reference(plan, x.T if input_t else x, params,
                                compute_dtype=compute_dtype)
     return _fused_chain(plan, x, params, needs_dx=needs_dx,
                         needs_dw=needs_dw,
-                        kernel_dtype=kernel_dtype_for(compute_dtype))
+                        kernel_dtype=kernel_dtype_for(compute_dtype),
+                        input_t=input_t)
 
 
 def plan_from_specs(embed_parts, mlp_spec, out_spec):

@@ -73,6 +73,37 @@ def test_forward_matches_reference(plan, n):
 
 
 @pytest.mark.parametrize('plan', PLANS)
+@pytest.mark.parametrize('n', [64, 100])
+def test_transposed_input_matches_rowmajor(plan, n):
+    """input_t=True ((raw, N) operands, the distillation march's
+    boundary layout) must agree with the row-major entry bitwise on
+    values and match on input cotangents (returned transposed)."""
+    params = make_params(plan)
+    x = jnp.asarray(np.random.RandomState(4).randn(n, pm.raw_dim(plan)),
+                    jnp.float32)
+    out_row = pm._fused_chain(plan, x, params)
+    out_t = pm._fused_chain(plan, x.T, params, input_t=True)
+    assert out_t.shape == (n, pm.out_dim(plan))
+    np.testing.assert_array_equal(np.asarray(out_t), np.asarray(out_row))
+
+    co = jnp.asarray(
+        np.random.RandomState(5).randn(n, pm.out_dim(plan)), jnp.float32)
+
+    def loss_row(x_):
+        return jnp.sum(pm._fused_chain(plan, x_, params) * co)
+
+    def loss_t(x_t):
+        return jnp.sum(
+            pm._fused_chain(plan, x_t, params, input_t=True) * co)
+
+    gx_row = jax.grad(loss_row)(x)
+    gx_t = jax.grad(loss_t)(x.T)
+    assert gx_t.shape == (pm.raw_dim(plan), n)
+    np.testing.assert_allclose(np.asarray(gx_t.T), np.asarray(gx_row),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize('plan', PLANS)
 def test_gradients_match_reference(plan):
     params = make_params(plan)
     x = jnp.asarray(np.random.RandomState(2).randn(70, pm.raw_dim(plan)),
