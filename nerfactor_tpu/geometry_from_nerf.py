@@ -98,12 +98,17 @@ def _parse_bbox(scene_bbox):
     return np.array(vals, np.float32)
 
 
-def _in_bounds_mask(pts, bbox):
+def _in_bounds_mask(pts, bbox, channel_axis=-1):
+    """Per-point bbox mask; ``channel_axis=0`` for (3, N) transposed
+    points (the march's kernel boundary layout)."""
     if bbox is None:
-        return jnp.ones(pts.shape[:-1], dtype=bool)
-    in_x = (pts[..., 0] >= bbox[0]) & (pts[..., 0] <= bbox[1])
-    in_y = (pts[..., 1] >= bbox[2]) & (pts[..., 1] <= bbox[3])
-    in_z = (pts[..., 2] >= bbox[4]) & (pts[..., 2] <= bbox[5])
+        shape = pts.shape[1:] if channel_axis == 0 else pts.shape[:-1]
+        return jnp.ones(shape, dtype=bool)
+    take = ((lambda c: pts[c]) if channel_axis == 0
+            else (lambda c: pts[..., c]))
+    in_x = (take(0) >= bbox[0]) & (take(0) <= bbox[1])
+    in_y = (take(1) >= bbox[2]) & (take(1) <= bbox[3])
+    in_z = (take(2) >= bbox[4]) & (take(2) <= bbox[5])
     return in_x & in_y & in_z
 
 
@@ -227,15 +232,8 @@ class GeometryDistiller:
                                   compute_dtype=compute_dtype,
                                   input_t=input_t))
         if self.bbox is not None:
-            bbox = jnp.asarray(self.bbox)
-            if input_t:
-                inb = ((pts_flat[0] >= bbox[0]) & (pts_flat[0] <= bbox[1])
-                       & (pts_flat[1] >= bbox[2])
-                       & (pts_flat[1] <= bbox[3])
-                       & (pts_flat[2] >= bbox[4])
-                       & (pts_flat[2] <= bbox[5]))
-            else:
-                inb = _in_bounds_mask(pts_flat, bbox)
+            inb = _in_bounds_mask(pts_flat, jnp.asarray(self.bbox),
+                                  channel_axis=0 if input_t else -1)
             sigma = jnp.where(inb[:, None], sigma, 0.0)
         return sigma
 
@@ -369,10 +367,27 @@ class AsyncWriter:
     def submit(self, fn):
         if self._err is not None:
             raise self._err
-        self._q.put(fn)
+        # A BaseException (SystemExit etc.) escaping a write fn kills
+        # the worker without setting _err; without this liveness check a
+        # full queue would then block forever instead of surfacing it
+        while True:
+            if not self._t.is_alive():
+                raise RuntimeError(
+                    "Background writer thread died (BaseException in a "
+                    "buffer write); see the log above")
+            try:
+                self._q.put(fn, timeout=5)
+                return
+            except queue.Full:
+                continue
 
     def close(self):
-        self._q.put(None)
+        while self._t.is_alive():
+            try:
+                self._q.put(None, timeout=5)
+                break
+            except queue.Full:
+                continue
         self._t.join()
         if self._err is not None:
             raise self._err

@@ -68,6 +68,7 @@ def test_distillation(tiny_nerf, tmp_path):
             % np.median(r)
 
 
+@pytest.mark.slow
 def test_view_sharding(tiny_nerf, tmp_path):
     """--view_shard i/n run as TWO CONCURRENT PROCESSES (the real
     multi-host fan-out of the embarrassingly parallel distillation,
@@ -141,3 +142,23 @@ def test_bf16_march_close_to_f32(tiny_nerf, tmp_path):
     assert diff.mean() < 0.02, "Mean lvis drift too high: %f" % diff.mean()
     assert np.quantile(diff, 0.99) < 0.2, \
         "Tail lvis drift too high: %f" % np.quantile(diff, 0.99)
+
+
+def test_in_bounds_mask_channel_axis():
+    """The bbox mask must agree between row-major (N, 3) points and the
+    march's transposed (3, N) layout (channel_axis=0)."""
+    import jax.numpy as jnp
+    from nerfactor_tpu.geometry_from_nerf import _in_bounds_mask
+    rng = np.random.RandomState(0)
+    pts = (rng.rand(50, 3) * 4 - 2).astype(np.float32)
+    bbox = np.array([-1, 1, -0.5, 1.5, 0, 2], np.float32)
+    row = _in_bounds_mask(jnp.asarray(pts), jnp.asarray(bbox))
+    col = _in_bounds_mask(jnp.asarray(pts.T), jnp.asarray(bbox),
+                          channel_axis=0)
+    assert np.asarray(row).any() and not np.asarray(row).all()
+    np.testing.assert_array_equal(np.asarray(col), np.asarray(row))
+    # bbox=None: all-true with the right shape in both layouts
+    assert np.asarray(
+        _in_bounds_mask(jnp.asarray(pts), None)).shape == (50,)
+    assert np.asarray(_in_bounds_mask(
+        jnp.asarray(pts.T), None, channel_axis=0)).shape == (50,)

@@ -80,8 +80,12 @@ def main():
     lvis_k = dist._eff_super_k(
         args.n_surf, dist.lvis_block_pts, dist._lvis_super_k)
     warm_n = min(args.n_surf, dist.lvis_block_pts * lvis_k)
+    # Warm on REVERSED rows: value-identical dispatches are cached by
+    # the tunnel (CLAUDE.md), so warming with the timed run's own first
+    # super would deflate the timed numbers
     t0 = time.time()
-    out = dist.compute_light_visibility(surf[:warm_n], nrm[:warm_n])
+    out = dist.compute_light_visibility(surf[:warm_n][::-1],
+                                        nrm[:warm_n][::-1])
     print('lvis warmup/compile: %.1f s' % (time.time() - t0))
     if args.profile:
         import glob
@@ -160,11 +164,13 @@ def main():
              1e3 * dt / args.n_surf, float(np.mean(out))))
     from tools import perf_ledger
     perf_ledger.append(
-        'lvis_march', dt * 4096 / args.n_surf, 's/4096pts_x_512dirs',
-        config='flagship 512px shapes: 128-wide, 96/128 samples, '
-               'mlp_chunk %d%s' % (args.mlp_chunk,
-                                   ', pipelined' if args.pipelined
-                                   else ', super-dispatch'))
+        'lvis_march', dt * 4096 / args.n_surf,
+        's/4096pts_x_%ddirs' % dist.n_lights,
+        config='%s: 128-wide, 96/128 samples, mlp_chunk %d%s' % (
+            'flagship 512px shapes' if args.light_h == 16
+            else 'light_h=%d' % args.light_h,
+            args.mlp_chunk,
+            ', pipelined' if args.pipelined else ', super-dispatch'))
 
     if args.skip_dn:
         return
@@ -175,8 +181,9 @@ def main():
     dn_k = dist._eff_super_k(args.n_rays, dist.ray_block,
                              dist._dn_super_k)
     warm_n = min(args.n_rays, dist.ray_block * dn_k)
+    # Reversed rows again: defeat the tunnel's identical-dispatch cache
     t0 = time.time()
-    dist.compute_depth_and_normal(rayo[:warm_n], rayd[:warm_n])
+    dist.compute_depth_and_normal(rayo[:warm_n][::-1], rayd[:warm_n][::-1])
     print('depth/normal warmup/compile: %.1f s' % (time.time() - t0))
     t0 = time.time()
     occu, depth, normal = dist.compute_depth_and_normal(rayo, rayd)

@@ -143,6 +143,13 @@ def main():
         float(y[0, 0])
         return (time.perf_counter() - t0) / args.steps * 1e3
 
+    if not args.grid_sweep:
+        bad = [d for d in args.depths.split(',') if int(d) % 2]
+        assert not bad, (
+            "pair mode interleaves two half-chains, so every depth "
+            "must be even (got %s) -- failing up front instead of "
+            "after minutes of serial/indep timing" % ','.join(bad))
+
     results = {}
     if args.grid_sweep:
         depth = 8

@@ -117,10 +117,15 @@ def main():
     }))
     import os
     env_knobs = [k for k in os.environ if k.startswith('NERFACTOR_')]
-    if not args.override and not env_knobs:
-        # Default-config runs feed the per-stage ledger (experiments
-        # with overrides or NERFACTOR_* env knobs stay out of the
-        # round-over-round record)
+    shipping_shape = (args.scan == 8 and args.rays == 1024
+                      and args.light_h == 16)
+    if not args.override and not env_knobs and shipping_shape:
+        # Only the SHIPPING configuration feeds the per-stage ledger:
+        # scan-8 dispatch at bench.py's shapes. Experiments (overrides,
+        # NERFACTOR_* env knobs, other shapes, and scan=0 per-dispatch
+        # mode, which carries ~1 ms/step of tunnel overhead real
+        # training does not pay) stay out of the round-over-round
+        # record.
         from tools import perf_ledger
         cfg = ('nerf.ini scale: %d rays, 64+128 samples, 256x8 MLPs'
                % args.rays) if args.model == 'nerf' else \
