@@ -147,10 +147,32 @@ def get_loss_fn(name):
     if name == 'uvl2':
         return uvl2
     if name in ('lpips', 'elpips'):
-        raise NotImplementedError(
-            "%s requires pretrained perceptual weights, which the reference "
-            "release also does not ship (.MISSING_LARGE_BLOBS); use "
-            "l1/l2/ssim" % name)
+        # The NETWORK is implemented (models/perceptual.py: AlexNet
+        # net-lin v0.1 in JAX, mirroring the frozen graph the reference
+        # metric wraps, xiuminglib/metric.py:195-278); only the
+        # pretrained weights are missing from this environment AND the
+        # reference release (.MISSING_LARGE_BLOBS). Point
+        # $NERFACTOR_LPIPS_WEIGHTS at a standard lpips/alexnet torch
+        # checkpoint to activate. (The reference's own lpips LOSS path
+        # is vestigial: base.py:49-55 references a losses.LPIPS class
+        # its losses.py never defines.)
+        from nerfactor_tpu.models import perceptual
+        params = perceptual.get_params_or_none()
+        if params is None:
+            raise NotImplementedError(
+                "%s needs pretrained perceptual weights (absent from this "
+                "environment and from the reference release); set "
+                "$NERFACTOR_LPIPS_WEIGHTS to a standard lpips/alexnet "
+                "torch checkpoint, or use l1/l2/ssim" % name)
+
+        def lpips_loss(gt, pred, keep_batch=False, weights=None):
+            if weights is not None:  # alpha-blend, as the SSIM loss does
+                gt = gt * weights
+                pred = pred * weights
+            val = perceptual.lpips(params, gt, pred)
+            return val if keep_batch else jnp.mean(val)
+
+        return lpips_loss
     raise NotImplementedError(name)
 
 

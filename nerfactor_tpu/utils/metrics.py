@@ -1,7 +1,9 @@
-"""Quality metrics: PSNR / SSIM (NumPy, host-side).
+"""Quality metrics: PSNR / SSIM / LPIPS (host-side).
 
 Reference behavior: xiuminglib/metric.py:103 (PSNR with a dtype-implied
-dynamic range; models compute PSNR on uint8 images) and :152 (SSIM).
+dynamic range; models compute PSNR on uint8 images), :152 (SSIM), and
+:195 (LPIPS -- the net-lin AlexNet v0.1 graph, reimplemented in JAX at
+models/perceptual.py; weight-gated, see that module's docstring).
 """
 
 import numpy as np
@@ -47,3 +49,27 @@ def ssim(im1, im2, drange='uint8'):
     num = (2 * mu1 * mu2 + c1) * (2 * s12 + c2)
     den = (mu1 ** 2 + mu2 ** 2 + c1) * (s11 + s22 + c2)
     return float(np.mean(num / den))
+
+
+def lpips(im1, im2, drange='uint8', params=None):
+    """LPIPS (lower is better) on HxWx3 (or HxW) images, mirroring the
+    reference metric's contract (xiuminglib/metric.py:244-278: scale to
+    [-1, 1] by the dtype-implied dynamic range, grayscale stacked to
+    RGB, one batch through the net-lin AlexNet). Raises unless weights
+    are available -- pass ``params`` or set $NERFACTOR_LPIPS_WEIGHTS
+    (models/perceptual.py)."""
+    from nerfactor_tpu.models import perceptual
+    if params is None:
+        params = perceptual.get_params_or_none()
+    if params is None:
+        raise NotImplementedError(
+            "LPIPS needs pretrained weights; set "
+            "$NERFACTOR_LPIPS_WEIGHTS (see models/perceptual.py)")
+    maxv = _dynamic_range(drange)
+    ims = []
+    for im in (im1, im2):
+        im = np.asarray(im, dtype=np.float32) / maxv  # [0, 1]
+        if im.ndim == 2:
+            im = np.dstack([im] * 3)
+        ims.append(im[None])
+    return float(perceptual.lpips(params, ims[0], ims[1])[0])
