@@ -165,14 +165,30 @@ def get_loss_fn(name):
                 "$NERFACTOR_LPIPS_WEIGHTS to a standard lpips/alexnet "
                 "torch checkpoint, or use l1/l2/ssim" % name)
 
-        def lpips_loss(gt, pred, keep_batch=False, weights=None):
-            if weights is not None:  # alpha-blend, as the SSIM loss does
+        if name == 'lpips':
+            def lpips_loss(gt, pred, keep_batch=False, weights=None):
+                if weights is not None:  # alpha-blend, like the SSIM loss
+                    gt = gt * weights
+                    pred = pred * weights
+                val = perceptual.lpips(params, gt, pred)
+                return val if keep_batch else jnp.mean(val)
+
+            return lpips_loss
+
+        def elpips_loss(gt, pred, keep_batch=False, weights=None,
+                        key=None):
+            # E-LPIPS needs a PRNG key for its transformation ensemble;
+            # a fixed default keeps the loss usable where the driver
+            # does not thread one (deterministic ensemble per step)
+            if weights is not None:
                 gt = gt * weights
                 pred = pred * weights
-            val = perceptual.lpips(params, gt, pred)
+            if key is None:
+                key = jax.random.PRNGKey(0)
+            val = perceptual.elpips(params, gt, pred, key)
             return val if keep_batch else jnp.mean(val)
 
-        return lpips_loss
+        return elpips_loss
     raise NotImplementedError(name)
 
 

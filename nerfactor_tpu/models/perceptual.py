@@ -199,3 +199,67 @@ def get_params_or_none():
     lin = os.environ.get(_LIN_ENV) or None
     _cached = load_torch_weights(path, lin_path=lin)
     return _cached
+
+
+# ---- E-LPIPS: self-ensembled LPIPS ------------------------------------
+#
+# The reference parses the 'elpips' loss name and instantiates
+# ``losses.ELPIPS(bs)`` (models/base.py:49-55) -- a class its losses.py
+# never defines, so (as with lpips) there is no executable upstream to
+# mirror; the semantics come from the E-LPIPS paper (Kettunen et al.
+# 2019, "E-LPIPS: Robust Perceptual Image Similarity via Random
+# Transformation Ensembles"): average the base LPIPS distance over
+# random input transformations applied IDENTICALLY to both images.
+# Implemented here with static shapes for jit: integer crop offsets via
+# dynamic_slice at a fixed (H-8, W-8) size, x/y mirror flips, an H==W
+# transpose (skipped for non-square inputs, where it would change the
+# traced shape), color-channel permutation, and a brightness scalar in
+# [0.2, 1.0]. Uses the same weight-gated parameters as :func:`lpips`.
+
+_CROP_MARGIN = 8
+
+
+def _transform_pair(key, im0, im1):
+    k_off, k_flip, k_tr, k_perm, k_mul = jax.random.split(key, 5)
+    n, h, w, _ = im0.shape
+    # Keep the cropped size >= lpips's 32px minimum (static decision)
+    ch = h - _CROP_MARGIN if h >= 32 + _CROP_MARGIN else h
+    cw = w - _CROP_MARGIN if w >= 32 + _CROP_MARGIN else w
+    oy = jax.random.randint(k_off, (), 0, h - ch + 1)
+    ox = jax.random.randint(k_off, (), 0, w - cw + 1)
+
+    def crop(im):
+        return jax.lax.dynamic_slice(
+            im, (0, oy, ox, 0), (n, ch, cw, im.shape[-1]))
+
+    fx, fy = jax.random.bernoulli(k_flip, shape=(2,))
+    perm = jax.random.permutation(k_perm, 3)
+    mul = jax.random.uniform(k_mul, (), minval=0.2, maxval=1.0)
+    do_tr = jax.random.bernoulli(k_tr) if ch == cw else False
+
+    def one(im):
+        im = crop(im)
+        im = jax.lax.cond(fx, lambda x: jax.lax.rev(x, (2,)),
+                          lambda x: x, im)
+        im = jax.lax.cond(fy, lambda x: jax.lax.rev(x, (1,)),
+                          lambda x: x, im)
+        if ch == cw:
+            im = jax.lax.cond(
+                do_tr, lambda x: jnp.swapaxes(x, 1, 2),
+                lambda x: x, im)
+        im = im[..., perm]
+        return im * mul
+
+    return one(im0), one(im1)
+
+
+def elpips(params, im0, im1, key, n_draws=8):
+    """Ensemble-averaged LPIPS over ``n_draws`` random transformations
+    (identical for both images); (N,) vector, lower is better."""
+    keys = jax.random.split(key, n_draws)
+
+    def one(k):
+        t0, t1 = _transform_pair(k, im0, im1)
+        return lpips(params, t0, t1)
+
+    return jnp.mean(jax.vmap(one)(keys), axis=0)

@@ -158,3 +158,50 @@ def test_metric_wrapper(monkeypatch):
     monkeypatch.delenv(perceptual._WEIGHTS_ENV, raising=False)
     with pytest.raises(NotImplementedError):
         metrics.lpips(im1, im2)
+
+
+def test_elpips_ensemble(params):
+    """E-LPIPS: transformation-invariance of the ensemble structure —
+    identical images stay at exactly zero under every draw, the value
+    is finite/positive for distinct images, deterministic per key, and
+    jit/grad-capable. Non-square inputs skip the transpose draw."""
+    im0, im1 = _imgs(n=2, h=44, w=40, seed=7)
+    key = jax.random.PRNGKey(0)
+    d = np.asarray(perceptual.elpips(params, im0, im1, key, n_draws=4))
+    assert d.shape == (2,)
+    assert np.all(d > 0) and np.all(np.isfinite(d))
+    np.testing.assert_array_equal(np.asarray(
+        perceptual.elpips(params, im0, im0, key, n_draws=4)), 0.0)
+    # Same key -> same ensemble -> identical value; different key differs
+    d2 = np.asarray(perceptual.elpips(params, im0, im1, key, n_draws=4))
+    np.testing.assert_array_equal(d, d2)
+    d3 = np.asarray(perceptual.elpips(
+        params, im0, im1, jax.random.PRNGKey(1), n_draws=4))
+    assert not np.array_equal(d, d3)
+    # Square images exercise the transpose branch too, under jit + grad
+    s0, s1 = _imgs(n=1, h=40, w=40, seed=8)
+
+    @jax.jit
+    def loss(pred):
+        return jnp.mean(perceptual.elpips(
+            params, jnp.asarray(s0), pred, jax.random.PRNGKey(2),
+            n_draws=2))
+
+    g = jax.grad(loss)(jnp.asarray(s1))
+    assert g.shape == s1.shape and bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_elpips_registry(monkeypatch):
+    from nerfactor_tpu.models import losses
+    fake = perceptual.init_random_params(jax.random.PRNGKey(3))
+    monkeypatch.setattr(perceptual, 'get_params_or_none', lambda: fake)
+    fn = losses.get_loss_fn('elpips')
+    im0, im1 = _imgs(n=2, h=40, w=40, seed=9)
+    per_im = fn(im0, im1, keep_batch=True)
+    assert np.asarray(per_im).shape == (2,)
+    assert float(fn(im0, im1)) > 0
+    monkeypatch.setattr(perceptual, '_cached', None)
+    monkeypatch.setattr(perceptual, 'get_params_or_none',
+                        lambda: None)
+    with pytest.raises(NotImplementedError, match='perceptual weights'):
+        losses.get_loss_fn('elpips')
